@@ -1,0 +1,247 @@
+"""Batched constant-Q transform (Q-scan) as fixed-shape XLA ops.
+
+Replaces ``ml4gw.transforms.QScan`` (the reference's MLGWSC-1 front end,
+MLGWSC-1/train.py:110-115 and inference.py:316-321) with a TPU-first
+formulation of the standard GWpy/Omega Q-transform algorithm:
+
+  * Q planes log-spaced by mismatch (deltam = 2*sqrt(mismatch/3));
+  * per plane, frequency rows log-spaced by cumulative mismatch, each row a
+    "Q tile": a bisquare-windowed band of the signal's FFT, inverse-FFT'd to
+    a complex time series whose |.|^2 is the tile energy;
+  * rows are normalized (median/mean over time) and bilinearly interpolated
+    to a fixed ``spectrogram_shape``;
+  * the scan returns the plane whose peak normalized energy is largest.
+
+TPU-first reformulation: the per-row geometry (window sizes, FFT lengths)
+is *irregular*, which would force recompilation / scalar loops if done
+naively. Instead a static :class:`QPlan` is precomputed in numpy once per
+(duration, sample_rate, q_range, shape) configuration:
+
+  * every row's windowed band is scattered into a common power-of-two
+    spectrum length via one precomputed gather/scatter index table, so the
+    whole plane becomes ONE batched iFFT of shape (B*n_rows, n_common);
+  * zero-padding to the common length is compensated with the row's
+    ntiles/n_common scale so energies match the per-row iFFT values;
+  * time/frequency interpolation to ``spectrogram_shape`` is a pair of
+    static matmuls (bilinear weights precomputed).
+
+Everything downstream (Q-adapter CNN) consumes the fixed-shape output, so
+train and inference use identical geometry — fixing the reference's
+train/inference spectrogram_shape asymmetry noted in SURVEY.md §2.10.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def next_power_of_two(x: float) -> int:
+    return int(2 ** np.ceil(np.log2(max(x, 1.0))))
+
+
+def q_values(q_range: Tuple[float, float], mismatch: float = 0.2) -> List[float]:
+    """Log-spaced Q values covering q_range at the given mismatch (GWpy QTiling)."""
+    deltam = 2.0 * np.sqrt(mismatch / 3.0)
+    cumum = np.log(q_range[1] / q_range[0]) / np.sqrt(2.0)
+    nplanes = int(max(np.ceil(cumum / deltam), 1))
+    dq = cumum / nplanes
+    return [q_range[0] * np.exp(np.sqrt(2.0) * dq * (i + 0.5)) for i in range(nplanes)]
+
+
+def plane_frequencies(
+    q: float, duration: float, sample_rate: float,
+    f_range: Tuple[float, float] | None = None, mismatch: float = 0.2,
+) -> np.ndarray:
+    """Log-spaced frequency rows of one Q plane (GWpy QPlane)."""
+    deltam = 2.0 * np.sqrt(mismatch / 3.0)
+    if f_range is None:
+        f_range = (0.0, np.inf)
+    minf, maxf = f_range
+    if minf == 0.0:
+        minf = 50.0 * q / (2.0 * np.pi * duration)
+    if np.isinf(maxf):
+        maxf = sample_rate / 2.0 / (1.0 + np.sqrt(11.0) / q)
+    fcum_mismatch = np.log(maxf / minf) * np.sqrt(2.0 + q ** 2) / 2.0
+    nfreq = int(max(1, np.ceil(fcum_mismatch / deltam)))
+    fstep = fcum_mismatch / nfreq
+    fstepmin = 1.0 / duration
+    freqs = [
+        (minf * np.exp(2.0 / np.sqrt(2.0 + q ** 2) * (i + 0.5) * fstep)) // fstepmin * fstepmin
+        for i in range(nfreq)
+    ]
+    return np.unique(np.asarray(freqs))
+
+
+@dataclasses.dataclass(frozen=True)
+class QPlan:
+    """Static geometry for one batched Q-scan configuration."""
+    duration: float
+    sample_rate: float
+    qs: Tuple[float, ...]
+    n_common: int                      # common iFFT length (power of two)
+    n_rows: Tuple[int, ...]            # rows per plane
+    # flat scatter tables over all planes' rows:
+    src_idx: np.ndarray                # index into rfft(strain) (clipped to valid)
+    dst_idx: np.ndarray                # (row, position-in-common-spectrum) flat index
+    weight: np.ndarray                 # bisquare window value * scale compensation
+    row_freqs: Tuple[np.ndarray, ...]  # frequencies per plane
+    time_interp: Tuple[np.ndarray, ...]   # per plane (n_common, t_bins) sparse-as-dense
+    freq_interp: Tuple[np.ndarray, ...]   # per plane (f_bins, n_rows)
+    shape: Tuple[int, int]
+
+
+def _bilinear_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) linear-interpolation matrix with half-pixel centers
+    (torch F.interpolate(align_corners=False) / jax.image.resize convention)."""
+    m = np.zeros((n_out, n_in))
+    if n_in == 1:
+        m[:, 0] = 1.0
+        return m
+    scale = n_in / n_out
+    for i in range(n_out):
+        x = (i + 0.5) * scale - 0.5
+        x = min(max(x, 0.0), n_in - 1.0)
+        lo = int(np.floor(x))
+        hi = min(lo + 1, n_in - 1)
+        w = x - lo
+        m[i, lo] += 1.0 - w
+        m[i, hi] += w
+    return m
+
+
+@functools.lru_cache(maxsize=8)
+def make_qplan(
+    duration: float = 1.0,
+    sample_rate: float = 2048.0,
+    q_range: Tuple[float, float] = (4.0, 128.0),
+    spectrogram_shape: Tuple[int, int] = (128, 128),
+    mismatch: float = 0.2,
+) -> QPlan:
+    n = int(round(duration * sample_rate))
+    n_freq_bins = n // 2 + 1
+    qs = q_values(q_range, mismatch)
+    deltam = 2.0 * np.sqrt(mismatch / 3.0)
+
+    all_freqs, n_rows = [], []
+    src, dst, wgt = [], [], []
+    max_ntiles = 1
+    rows_meta = []  # (freqs, windowsizes, ntiles) per plane
+    for q in qs:
+        freqs = plane_frequencies(q, duration, sample_rate, mismatch=mismatch)
+        qprime = q / np.sqrt(11.0)
+        ws_list, nt_list = [], []
+        for f in freqs:
+            windowsize = 2 * int(f / qprime * duration) + 1
+            tcum_mismatch = duration * 2.0 * np.pi * f / q
+            ntiles = next_power_of_two(tcum_mismatch / deltam)
+            ws_list.append(windowsize)
+            nt_list.append(ntiles)
+            max_ntiles = max(max_ntiles, ntiles)
+        rows_meta.append((freqs, ws_list, nt_list))
+        all_freqs.append(freqs)
+        n_rows.append(len(freqs))
+    n_common = max_ntiles
+
+    row_offset = 0
+    for (freqs, ws_list, nt_list), q in zip(rows_meta, qs):
+        qprime = q / np.sqrt(11.0)
+        for r, (f, windowsize, ntiles) in enumerate(zip(freqs, ws_list, nt_list)):
+            half = (windowsize - 1) // 2
+            k = np.arange(windowsize) - half               # -half..half
+            wfreqs = k / duration                          # Hz offsets from row center
+            xfreqs = wfreqs * qprime / f
+            norm = ntiles / (duration * sample_rate) * np.sqrt(
+                315.0 * qprime / (128.0 * f)
+            )
+            window = (1.0 - xfreqs ** 2) ** 2 * norm
+            center = int(round(f * duration))              # index of f in rfft grid
+            src_k = center + k
+            valid = (src_k >= 0) & (src_k < n_freq_bins)
+            dst_k = np.mod(k, n_common)                    # ifftshift placement
+            # zero-padding to n_common rescales the iFFT's 1/N normalization
+            scale = 1.0  # energies use 1/ntiles normalization via explicit factor below
+            src.append(src_k[valid])
+            dst.append((row_offset + r) * n_common + dst_k[valid])
+            wgt.append(window[valid] * (n_common / ntiles) * scale)
+        row_offset += len(freqs)
+
+    t_bins, f_bins = spectrogram_shape[1], spectrogram_shape[0]
+    time_interp = tuple(
+        _bilinear_matrix(n_common, t_bins).T.astype(np.float32) for _ in qs
+    )
+    freq_interp = tuple(
+        _bilinear_matrix(len(f), f_bins).astype(np.float32) for f in all_freqs
+    )
+    return QPlan(
+        duration=duration,
+        sample_rate=sample_rate,
+        qs=tuple(qs),
+        n_common=n_common,
+        n_rows=tuple(n_rows),
+        src_idx=np.concatenate(src).astype(np.int32),
+        dst_idx=np.concatenate(dst).astype(np.int32),
+        weight=np.concatenate(wgt).astype(np.float64),
+        row_freqs=tuple(all_freqs),
+        time_interp=time_interp,
+        freq_interp=freq_interp,
+        shape=(f_bins, t_bins),
+    )
+
+
+def qscan(
+    strain: jnp.ndarray,
+    plan: QPlan | None = None,
+    *,
+    duration: float = 1.0,
+    sample_rate: float = 2048.0,
+    q_range: Tuple[float, float] = (4.0, 128.0),
+    spectrogram_shape: Tuple[int, int] = (128, 128),
+    norm: str = "median",
+) -> jnp.ndarray:
+    """Q-scan of (B, N) strain -> (B, f_bins, t_bins) normalized energy.
+
+    Computes every Q plane with one batched iFFT, normalizes (median over
+    time per row, GWpy default), interpolates each plane to the fixed
+    spectrogram shape, and returns per-sample the plane with the largest
+    peak energy (QScan semantics).
+    """
+    if plan is None:
+        plan = make_qplan(duration, sample_rate, q_range, spectrogram_shape)
+    B = strain.shape[0]
+    total_rows = sum(plan.n_rows)
+
+    fseries = jnp.fft.rfft(strain.astype(jnp.float32), axis=-1)  # (B, F)
+    gathered = fseries[:, plan.src_idx] * jnp.asarray(plan.weight, jnp.float32)
+    flat = jnp.zeros((B, total_rows * plan.n_common), jnp.complex64)
+    flat = flat.at[:, plan.dst_idx].add(gathered)
+    spec = flat.reshape(B, total_rows, plan.n_common)
+    series = jnp.fft.ifft(spec, axis=-1)
+    energy = series.real ** 2 + series.imag ** 2  # (B, rows, n_common)
+
+    if norm == "median":
+        denom = jnp.median(energy, axis=-1, keepdims=True)
+    elif norm == "mean":
+        denom = jnp.mean(energy, axis=-1, keepdims=True)
+    else:
+        denom = jnp.ones_like(energy[..., :1])
+    energy = energy / jnp.maximum(denom, 1e-30)
+
+    # Per plane: interpolate to (f_bins, t_bins) and get peak value.
+    specs, peaks = [], []
+    offset = 0
+    for p, nr in enumerate(plan.n_rows):
+        rows = energy[:, offset : offset + nr, :]  # (B, nr, n_common)
+        offset += nr
+        t = rows @ jnp.asarray(plan.time_interp[p])  # (B, nr, t_bins)
+        s = jnp.einsum("fr,brt->bft", jnp.asarray(plan.freq_interp[p]), t)
+        specs.append(s)
+        peaks.append(jnp.max(rows, axis=(-2, -1)))
+    stacked = jnp.stack(specs, axis=1)  # (B, nplanes, f, t)
+    peak = jnp.stack(peaks, axis=1)  # (B, nplanes)
+    best = jnp.argmax(peak, axis=1)
+    return jnp.take_along_axis(stacked, best[:, None, None, None], axis=1)[:, 0]

@@ -1,0 +1,131 @@
+"""Frequency-domain whitening with PyCBC inverse-spectrum-truncation semantics.
+
+The reference has three whitening implementations (SURVEY.md §2.1):
+  1. MLGWSC-1 inference whitening — Welch-median PSD estimate per segment,
+     inverse spectrum truncation (hann), edge crop of max_filter_len//2 each
+     side (MLGWSC-1/inference.py:56-137; start-time compensation +0.125 s at
+     :244-246). -> :func:`whiten_estimate`
+  2. bnslib known-PSD whitening — analytic/named PSD, zero below f_low,
+     crop max_filter_len each side (bnslib.py:62-133). -> :func:`whiten_psd`
+  3. pycbc TimeSeries.whiten in the glitch builder (4 s segments)
+     — same machinery as (1) with different durations.
+
+All are implemented as batched jittable device functions. PyCBC's delta_t/
+delta_f FFT scalings cancel end-to-end, so whitened output keeps pycbc's
+normalization: whitened colored noise has std ~= sqrt(sample_rate).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gwkit.ops.psd import interpolate_psd, welch_psd
+
+
+def inverse_spectrum_truncation(
+    psd: jnp.ndarray,
+    max_filter_len: int,
+    low_frequency_cutoff: Optional[float] = None,
+    delta_f: float = 1.0,
+    trunc_method: Optional[str] = "hann",
+) -> jnp.ndarray:
+    """Smooth a PSD by truncating its inverse-ASD impulse response in time.
+
+    Bit-parity with pycbc.psd.inverse_spectrum_truncation (the delta_t/delta_f
+    factors of pycbc's fft wrappers cancel): zero the inverse ASD at DC,
+    Nyquist, and below the cutoff; irfft; keep only max_filter_len samples
+    (hann-tapered) split across the start/end; rfft; return 1/|.|^2.
+    """
+    flen = psd.shape[-1]
+    n = (flen - 1) * 2
+    inv_asd = jnp.where(psd > 0, 1.0 / jnp.sqrt(jnp.where(psd > 0, psd, 1.0)), 0.0)
+    inv_asd = inv_asd.at[..., 0].set(0.0).at[..., -1].set(0.0)
+    if low_frequency_cutoff is not None:
+        kmin = int(low_frequency_cutoff / delta_f)
+        inv_asd = inv_asd.at[..., :kmin].set(0.0)
+    q = jnp.fft.irfft(inv_asd.astype(jnp.complex64), n, axis=-1)
+    half = max_filter_len // 2
+    if trunc_method == "hann":
+        trunc_window = np.hanning(max_filter_len)
+        q = q.at[..., :half].multiply(jnp.asarray(trunc_window[half:], q.dtype))
+        q = q.at[..., n - half:].multiply(jnp.asarray(trunc_window[:half], q.dtype))
+    q = q.at[..., half : n - half].set(0.0)
+    trunc_asd = jnp.fft.rfft(q, axis=-1)
+    mag_sq = trunc_asd.real ** 2 + trunc_asd.imag ** 2
+    return 1.0 / jnp.maximum(mag_sq, 1e-30)
+
+
+def whiten_estimate(
+    strain: jnp.ndarray,
+    delta_t: float = 1.0 / 2048.0,
+    segment_duration: float = 0.5,
+    max_filter_duration: float = 0.25,
+    low_frequency_cutoff: Optional[float] = None,
+    psd: Optional[jnp.ndarray] = None,
+    remove_corrupted: bool = True,
+    return_psd: bool = False,
+) -> jnp.ndarray | Tuple[jnp.ndarray, jnp.ndarray]:
+    """MLGWSC-1 inference whitening (inference.py:56-137), batched over (..., N).
+
+    PSD is Welch-median estimated from the data itself unless given. The
+    returned series is cropped by max_filter_len//2 samples on each side
+    (0.125 s at 2048 Hz) — callers must advance start_time accordingly
+    (inference.py:244-246).
+    """
+    n = strain.shape[-1]
+    sample_rate = 1.0 / delta_t
+    delta_f = 1.0 / (n * delta_t)
+    flen = n // 2 + 1
+    if psd is None:
+        est = welch_psd(strain, delta_t, segment_duration)  # (..., seg_flen)
+        unprocessed = est
+        est = interpolate_psd(est, 1.0 / segment_duration, delta_f, flen)
+    else:
+        unprocessed = psd
+        if psd.shape[-1] != flen:
+            est = interpolate_psd(psd, delta_f * (flen - 1) / (psd.shape[-1] - 1), delta_f, flen)
+        else:
+            est = jnp.broadcast_to(psd, strain.shape[:-1] + (flen,))
+    max_filter_len = int(max_filter_duration * sample_rate)
+    est = inverse_spectrum_truncation(
+        est, max_filter_len, low_frequency_cutoff=low_frequency_cutoff,
+        delta_f=delta_f, trunc_method="hann",
+    )
+    strain_f = jnp.fft.rfft(strain.astype(jnp.float32), axis=-1)
+    white = jnp.fft.irfft(strain_f * jnp.sqrt(1.0 / est), n, axis=-1).astype(strain.dtype)
+    if remove_corrupted:
+        white = white[..., max_filter_len // 2 : n - max_filter_len // 2]
+    if return_psd:
+        return white, unprocessed
+    return white
+
+
+def whiten_psd(
+    strain: jnp.ndarray,
+    psd: jnp.ndarray,
+    delta_t: float,
+    low_freq_cutoff: float = 20.0,
+    max_filter_duration: float = 4.0,
+) -> jnp.ndarray:
+    """bnslib known-PSD whitening (bnslib.py:62-133), batched over (..., N).
+
+    The PSD (one-sided, len N//2+1, matching delta_f) is truncated, the strain
+    spectrum is zeroed below the cutoff and at Nyquist, divided by sqrt(PSD),
+    and max_filter_len samples are cropped from both ends.
+    """
+    n = strain.shape[-1]
+    sample_rate = 1.0 / delta_t
+    delta_f = 1.0 / (n * delta_t)
+    max_filter_len = int(max_filter_duration * sample_rate)
+    psd_trunc = inverse_spectrum_truncation(
+        psd, max_filter_len, low_frequency_cutoff=low_freq_cutoff,
+        delta_f=delta_f, trunc_method="hann",
+    )
+    kmin = int(low_freq_cutoff / delta_f)
+    strain_f = jnp.fft.rfft(strain.astype(jnp.float32), axis=-1)
+    mask = (jnp.arange(n // 2 + 1) >= kmin) & (jnp.arange(n // 2 + 1) != n // 2)
+    strain_f = jnp.where(mask, strain_f * jnp.sqrt(1.0 / psd_trunc), 0.0)
+    white = jnp.fft.irfft(strain_f, n, axis=-1).astype(strain.dtype)
+    return white[..., max_filter_len : n - max_filter_len]
