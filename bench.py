@@ -1,0 +1,76 @@
+"""Benchmark: MLGWSC-1 dual-detector continuous-search throughput per chip.
+
+Measures strain-seconds of two-detector data scored per wall-clock second
+(x realtime) for the full search path — device whitening, on-device window
+gather (1 s windows, 0.1 s stride), Q-scan front end, Q-adapter CNN,
+Whisper-tiny encoder per detector with DoRA, classifier head (USR logits).
+
+Reference context (BASELINE.md): the reference records no end-to-end search
+throughput; the driver's north star is >=100x realtime per TPU v5e chip, so
+``vs_baseline`` reports value/100.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gwkit.models.adapters import AdapterConfig
+    from gwkit.models.whisper import config_for
+    from gwkit.search.engine import score_segments
+    from gwkit.search.slicer import Segment, SlicerConfig
+    from gwkit.train.tasks import build_mlgwsc
+
+    seconds = float(os.environ.get("BENCH_SECONDS", "60"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    platform = jax.devices()[0].platform
+    on_tpu = platform != "cpu"
+    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    enc = config_for(
+        "tiny", compute_dtype=compute_dtype,
+        use_flash_attention=on_tpu and os.environ.get("BENCH_FLASH", "1") == "1",
+    )
+    task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc)
+
+    @jax.jit
+    def score_fn(windows):
+        out = task.forward(task.trainable, task.frozen, windows)
+        return out[:, 0]
+
+    fs = 2048
+    rng = np.random.default_rng(0)
+    strain = (rng.normal(size=(2, int(seconds * fs))) * 1e-21).astype(np.float32)
+    seg = Segment(key="bench", strain=strain, start_time=0.0, delta_t=1.0 / fs)
+    cfg = SlicerConfig(batch_size=batch)
+
+    # warmup: compile whitening + scoring
+    warm = Segment(key="warm", strain=strain[:, : 8 * fs], start_time=0.0, delta_t=1.0 / fs)
+    score_segments(score_fn, [warm], cfg, trigger_threshold=10.0)
+
+    result = score_segments(score_fn, [seg], cfg, trigger_threshold=10.0)
+    x_rt = result.throughput_x_realtime
+    print(
+        json.dumps(
+            {
+                "metric": "mlgwsc_search_throughput",
+                "value": round(x_rt, 3),
+                "unit": "x_realtime_per_chip (dual-detector strain-sec/s)",
+                "vs_baseline": round(x_rt / 100.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Shared CLI plumbing."""
+from __future__ import annotations
+
+from argparse import ArgumentParser
+
+from gwkit.utils.logging import configure_logging
+
+
+def add_common_args(parser: ArgumentParser) -> None:
+    parser.add_argument("--verbose", action="store_true", help="Print info logs.")
+    parser.add_argument("--debug", action="store_true", help="Enable debug logs.")
+    parser.add_argument("--force", action="store_true", help="Overwrite existing outputs.")
+    parser.add_argument("--seed", type=int, default=42, help="Random seed.")
+    parser.add_argument("--cpu", action="store_true", help="Force the CPU backend.")
+
+
+def setup(args) -> None:
+    if getattr(args, "cpu", False):
+        from gwkit.utils.platform import force_cpu
+
+        force_cpu()
+    configure_logging(verbose=args.verbose, debug=args.debug)
+
+
+def add_adapter_args(parser: ArgumentParser) -> None:
+    parser.add_argument("--encoder", type=str, default="tiny",
+                        choices=["tiny", "base", "small", "medium", "large"],
+                        help="Whisper encoder size.")
+    parser.add_argument("--method", type=str, default="DoRA", choices=["DoRA", "LoRA"],
+                        help="Adapter variant (reference run_train.py --method).")
+    parser.add_argument("--lora-rank", type=int, default=8, help="LoRA rank.")
+    parser.add_argument("--lora-alpha", type=int, default=32, help="LoRA alpha.")
+    parser.add_argument("--target-modules", type=str, default="qkvo",
+                        help="Adapter targets: qkvo|qkv|kv|qv or comma list.")
+    parser.add_argument("--hf-checkpoint", type=str, default=None,
+                        help="Path to HF whisper weights (safetensors/torch) for the base encoder.")
+
+
+def build_adapter_config(args):
+    from gwkit.models.adapters import AdapterConfig
+
+    return AdapterConfig(
+        r=args.lora_rank, alpha=args.lora_alpha,
+        use_dora=(args.method == "DoRA"), targets=args.target_modules,
+    )
+
+
+def load_encoder_params(args, size: str):
+    if args.hf_checkpoint:
+        from gwkit.models.hf_io import load_hf_encoder
+
+        _, params = load_hf_encoder(args.hf_checkpoint, size=size)
+        return params
+    return None

@@ -1,0 +1,73 @@
+"""Data-generation CLI (reference: MLGWSC-1/generate_data.py + gen.py):
+challenge foreground/background/injection files and training corpora."""
+from __future__ import annotations
+
+from argparse import ArgumentParser
+
+from gwkit.cli.common import add_common_args, setup
+from gwkit.utils.hdf5 import check_file_existence
+
+
+def parse_args(argv=None):
+    p = ArgumentParser(description="Generate MLGWSC-style challenge data or training sets.")
+    add_common_args(p)
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    ch = sub.add_parser("challenge", help="Foreground/background/injection files (generate_data.py).")
+    ch.add_argument("-d", "--dataset", type=int, default=1, choices=[1, 2, 3],
+                    help="Challenge dataset flavor (1: design-PSD Gaussian noise).")
+    ch.add_argument("-f", "--output-foreground-file", type=str, required=True)
+    ch.add_argument("-b", "--output-background-file", type=str, required=True)
+    ch.add_argument("-i", "--output-injection-file", type=str, required=True)
+    ch.add_argument("--duration", type=float, default=86400.0)
+    ch.add_argument("--sample-rate", type=float, default=2048.0)
+
+    tr = sub.add_parser("training", help="Training/validation corpus (gen.py).")
+    tr.add_argument("-o", "--output", type=str, required=True)
+    tr.add_argument("--n-train", type=int, default=1000)
+    tr.add_argument("--n-valid", type=int, default=200)
+    tr.add_argument("--window-duration", type=float, default=1.0)
+    tr.add_argument("--sample-rate", type=float, default=2048.0)
+
+    gl = sub.add_parser("glitch", help="Synthetic Gravity Spy-style glitch corpus.")
+    gl.add_argument("-o", "--output", type=str, required=True)
+    gl.add_argument("--n-per-class", type=int, default=100)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    setup(args)
+    if args.mode == "challenge":
+        from gwkit.data.generate import generate_challenge_data
+
+        for path in (args.output_foreground_file, args.output_background_file, args.output_injection_file):
+            check_file_existence(path, args.force)
+        generate_challenge_data(
+            args.output_foreground_file, args.output_background_file, args.output_injection_file,
+            duration=args.duration, sample_rate=args.sample_rate, seed=args.seed,
+        )
+        print("challenge data written")
+    elif args.mode == "training":
+        from gwkit.data.generate import generate_training_set
+
+        check_file_existence(args.output, args.force)
+        generate_training_set(
+            args.output, n_train=args.n_train, n_valid=args.n_valid,
+            window_duration=args.window_duration, sample_rate=args.sample_rate, seed=args.seed,
+        )
+        print(f"training set written to {args.output}")
+    else:
+        import h5py
+
+        from gwkit.data.glitch import synthetic_glitch_dataset
+
+        x, y = synthetic_glitch_dataset(args.n_per_class, seed=args.seed)
+        with h5py.File(args.output, "w") as f:
+            f.create_dataset("strain", data=x)
+            f.create_dataset("labels", data=y)
+        print(f"glitch corpus written to {args.output} ({len(y)} samples)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""MLGWSC-1 continuous-search CLI (reference: MLGWSC-1/inference.py):
+apply a trained model over month-scale strain, write clustered triggers."""
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+from gwkit.cli.common import add_common_args, setup
+from gwkit.utils.hdf5 import check_file_existence
+
+
+def parse_args(argv=None):
+    p = ArgumentParser(description="Apply a trained two-detector GW-Whisper model and save triggers.")
+    add_common_args(p)
+    p.add_argument("inputfile", type=str)
+    p.add_argument("outputfile", type=str)
+    p.add_argument("--white", action="store_true", help="Input is already whitened.")
+    p.add_argument("--softmax", action="store_true", help="Use softmax scores (default USR logits).")
+    p.add_argument("--lora-weights", type=str, required=True, help="peft-compatible LoRA dir.")
+    p.add_argument("--dense-weights", type=str, required=True, help="Head checkpoint (.npz).")
+    p.add_argument("--adapter-weights", type=str, required=True, help="Q-adapter checkpoint (.npz).")
+    p.add_argument("--hf-checkpoint", type=str, default=None, help="Base encoder weights.")
+    p.add_argument("--encoder", type=str, default="tiny")
+    p.add_argument("-t", "--trigger-threshold", type=float, default=-0.5)
+    p.add_argument("--step-size", type=float, default=0.1)
+    p.add_argument("--cluster-threshold", type=float, default=0.35)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--debug-triggers-file", type=str, default=None)
+    p.add_argument("--debug-whitened-file", type=str, default=None)
+    return p.parse_args(argv)
+
+
+def load_task_from_components(
+    lora_weights: str,
+    dense_weights: str,
+    adapter_weights: str,
+    encoder: str = "tiny",
+    hf_checkpoint=None,
+    usr: bool = True,
+    seed: int = 42,
+):
+    """build_model parity (inference.py:415-430): assemble the mlgwsc task
+    from exported component checkpoints."""
+    import jax
+
+    from gwkit.models.adapters import import_peft_dir
+    from gwkit.models.whisper import config_for
+    from gwkit.train.checkpoints import load_pytree
+    from gwkit.train.tasks import build_mlgwsc
+
+    cfg = config_for(encoder)
+    adapters, acfg = import_peft_dir(lora_weights, n_layers=cfg.n_layers)
+    encoder_params = None
+    if hf_checkpoint:
+        from gwkit.models.hf_io import load_hf_encoder
+
+        _, encoder_params = load_hf_encoder(hf_checkpoint, size=encoder)
+    task = build_mlgwsc(
+        jax.random.PRNGKey(seed), encoder=encoder, acfg=acfg,
+        encoder_params=encoder_params, usr=usr,
+    )
+    task.trainable["adapters"] = adapters
+    task.trainable["head"], _ = load_pytree(dense_weights, task.trainable["head"])
+    task.trainable["qadapter"], _ = load_pytree(adapter_weights, task.trainable["qadapter"])
+    return task
+
+
+def main(argv=None):
+    import time
+
+    args = parse_args(argv)
+    setup(args)
+    for path in (args.outputfile, args.debug_whitened_file, args.debug_triggers_file):
+        check_file_existence(path if path else None, args.force)
+        if path and args.force and os.path.isfile(path):
+            os.remove(path)
+
+    from gwkit.search.engine import get_triggers, write_search_output
+
+    t0 = time.time()
+    task = load_task_from_components(
+        args.lora_weights, args.dense_weights, args.adapter_weights,
+        encoder=args.encoder, hf_checkpoint=args.hf_checkpoint, usr=not args.softmax,
+        seed=args.seed,
+    )
+    triggers, all_vals, result = get_triggers(
+        task, args.inputfile,
+        step_size=args.step_size, trigger_threshold=args.trigger_threshold,
+        white=args.white, whitened_file=args.debug_whitened_file,
+        batch_size=args.batch_size, verbose=args.verbose,
+    )
+    print(f"Total slices above threshold {args.trigger_threshold:.3f}: "
+          f"{sum(len(v) for v in triggers.values())}")
+    write_search_output(
+        args.outputfile, triggers, all_vals,
+        cluster_threshold=args.cluster_threshold,
+        raw_triggers_path=args.debug_triggers_file,
+    )
+    print(f"Throughput: {result.throughput_x_realtime:.1f}x realtime "
+          f"({result.n_windows} windows)")
+    print(f"Total execution time: {time.time() - t0:.2f} seconds")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Gravity Spy glitch dataset: taxonomy, preprocessing, synthetic morphologies.
+
+The reference builds its 11-class corpus by fetching real O3 strain around
+Gravity Spy triggers with gwpy, whitening (4 s PSD segments), 30 Hz FIR
+highpassing, and cropping 1 s around the glitch
+(Glitch_classification/utils/generate_glitch_dataset.py:19-116). This module
+reproduces that preprocessing pipeline on device and — since this build is
+zero-egress — adds a physics-motivated *synthetic* glitch generator per class
+(sine-Gaussians, ringdowns, scattering arches, power-line harmonics, ...) so
+the full 11-way training/eval path runs end-to-end; real Gravity Spy strain
+drops in through the same `preprocess_glitch_strain` entry point.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal
+
+from gwkit.ops.whiten import whiten_estimate
+
+# 11-way taxonomy of the reference's shipped model (classification report)
+GLITCH_CLASSES = (
+    "1080 Lines",
+    "Blip",
+    "Blip Low Freq",
+    "Fast Scattering",
+    "GW",
+    "Koi Fish",
+    "No Glitch",
+    "Power Line",
+    "Scattered Light",
+    "Tomte",
+    "Whistle",
+)
+CLASS_TO_INDEX = {name: i for i, name in enumerate(GLITCH_CLASSES)}
+
+
+def preprocess_glitch_strain(
+    strain: jnp.ndarray,
+    sample_rate: float = 2048.0,
+    segment_duration: float = 4.0,
+    highpass_hz: float = 30.0,
+    crop_duration: float = 1.0,
+) -> np.ndarray:
+    """(B, N) raw strain around a trigger -> (B, crop) whitened/highpassed
+    windows centered on the trigger (generate_glitch_dataset.py semantics:
+    whiten with 4 s PSD segments, 30 Hz highpass, 1 s center crop)."""
+    white = np.asarray(
+        whiten_estimate(
+            strain, delta_t=1.0 / sample_rate,
+            segment_duration=segment_duration, max_filter_duration=1.0,
+        )
+    )
+    sos = scipy.signal.butter(8, highpass_hz, "highpass", fs=sample_rate, output="sos")
+    filtered = scipy.signal.sosfiltfilt(sos, white, axis=-1)
+    n_crop = int(crop_duration * sample_rate)
+    mid = filtered.shape[-1] // 2
+    return np.ascontiguousarray(filtered[:, mid - n_crop // 2 : mid + n_crop - n_crop // 2], dtype=np.float32)
+
+
+def _sine_gaussian(t, f0, q, t0, amp, phase=0.0):
+    tau = q / (2 * np.pi * f0)
+    return amp * np.exp(-(((t - t0) / tau) ** 2)) * np.sin(2 * np.pi * f0 * (t - t0) + phase)
+
+
+def synthesize_glitch(
+    rng: np.random.Generator, class_name: str, duration: float = 1.0, sample_rate: float = 2048.0
+) -> np.ndarray:
+    """One whitened-domain glitch morphology for the given class."""
+    n = int(duration * sample_rate)
+    t = np.arange(n) / sample_rate
+    t0 = duration / 2 + rng.uniform(-0.05, 0.05)
+    a = rng.uniform(3.0, 10.0)
+    if class_name == "Blip":
+        return _sine_gaussian(t, rng.uniform(80, 250), rng.uniform(1, 3), t0, a)
+    if class_name == "Blip Low Freq":
+        return _sine_gaussian(t, rng.uniform(30, 80), rng.uniform(1, 3), t0, a)
+    if class_name == "Tomte":
+        return _sine_gaussian(t, rng.uniform(40, 90), rng.uniform(3, 6), t0, a)
+    if class_name == "Koi Fish":
+        sig = sum(
+            _sine_gaussian(t, f, rng.uniform(1.5, 4), t0, a * w)
+            for f, w in [(rng.uniform(30, 60), 1.0), (rng.uniform(100, 300), 0.8), (rng.uniform(400, 800), 0.5)]
+        )
+        return sig
+    if class_name == "Whistle":
+        f_start, f_end = rng.uniform(400, 900), rng.uniform(100, 300)
+        width = rng.uniform(0.1, 0.3)
+        env = np.exp(-(((t - t0) / width) ** 2))
+        freq = f_start + (f_end - f_start) * (t - t0 + width) / (2 * width)
+        phase = 2 * np.pi * np.cumsum(freq) / sample_rate
+        return a * env * np.sin(phase)
+    if class_name == "Power Line":
+        f = 60.0 * rng.integers(1, 4)
+        env = np.exp(-(((t - t0) / rng.uniform(0.1, 0.3)) ** 2))
+        return a * 0.5 * env * np.sin(2 * np.pi * f * t)
+    if class_name == "1080 Lines":
+        env = np.exp(-(((t - t0) / rng.uniform(0.2, 0.4)) ** 2))
+        return a * 0.5 * env * np.sin(2 * np.pi * rng.uniform(1000, 1160) * t)
+    if class_name == "Scattered Light":
+        f_arch = rng.uniform(20, 60)
+        mod = rng.uniform(2, 6)
+        phase = 2 * np.pi * (f_arch * t + (f_arch / mod) * np.sin(2 * np.pi * mod * t) / (2 * np.pi))
+        env = np.exp(-(((t - t0) / 0.4) ** 2))
+        return a * 0.7 * env * np.sin(phase)
+    if class_name == "Fast Scattering":
+        sig = np.zeros(n)
+        for k in range(rng.integers(3, 6)):
+            sig += _sine_gaussian(t, rng.uniform(30, 80), rng.uniform(4, 8), rng.uniform(0.2, 0.8), a * 0.6)
+        return sig
+    if class_name == "GW":
+        # inspiral chirp (frequency sweeping up, amplitude rising)
+        tc = t0 + 0.1
+        tau = np.maximum(tc - t, 1e-3)
+        freq = np.clip(35.0 * (tau / 1.0) ** (-3.0 / 8.0), 0, 512)
+        phase = -2 * np.pi * np.cumsum(freq) / sample_rate
+        env = (tau ** (-0.25)) * (t < tc) * np.exp(-np.maximum(t - tc, 0))
+        return a * 0.5 * env / np.max(env + 1e-9) * np.sin(phase)
+    # "No Glitch"
+    return np.zeros(n)
+
+
+def synthetic_glitch_dataset(
+    n_per_class: int,
+    seed: int = 0,
+    duration: float = 1.0,
+    sample_rate: float = 2048.0,
+    noise_sigma: float = 1.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(strain [N, T], labels [N]) over all 11 classes, whitened-domain units."""
+    rng = np.random.default_rng(seed)
+    xs, ys = [], []
+    n = int(duration * sample_rate)
+    for ci, cls in enumerate(GLITCH_CLASSES):
+        for _ in range(n_per_class):
+            sig = synthesize_glitch(rng, cls, duration, sample_rate)
+            xs.append(sig + rng.normal(0, noise_sigma, n))
+            ys.append(ci)
+    xs = np.asarray(xs, np.float32)
+    ys = np.asarray(ys, np.int32)
+    order = rng.permutation(len(xs))
+    return xs[order], ys[order]
+
+
+class LabeledDataset:
+    """Simple labeled strain dataset with the .batches() protocol."""
+
+    def __init__(self, strain: np.ndarray, labels: np.ndarray):
+        self.strain = jnp.asarray(strain, jnp.float32)
+        self.labels = jnp.asarray(labels, jnp.int32)
+
+    def __len__(self):
+        return len(self.labels)
+
+    def batches(self, key, batch_size: int, shuffle: bool = True, drop_remainder: bool = True):
+        import jax
+
+        from gwkit.train.datasets_util import epoch_indices
+
+        seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+        for idx in epoch_indices(len(self.labels), batch_size, seed, shuffle, drop_remainder):
+            idx = jnp.asarray(idx)
+            yield jnp.take(self.strain, idx, axis=0), jnp.take(self.labels, idx, axis=0)

@@ -64,9 +64,14 @@ def encode_embedding(
 def two_channel_apply(
     cfg: ClassifierConfig, params, mel0, mel1, adapters=None, dropout_key=None
 ) -> jnp.ndarray:
-    """Two-detector classifier on precomputed mel features -> logits (B, num)."""
-    e0 = encode_embedding(cfg, params["encoder"], mel0, adapters)
-    e1 = encode_embedding(cfg, params["encoder"], mel1, adapters)
+    """Two-detector classifier on precomputed mel features -> logits (B, num).
+
+    Both detectors run through ONE encoder call (stacked on the batch axis);
+    the reference makes two sequential calls (model.py:25-26) — same math.
+    """
+    B = mel0.shape[0]
+    both = encode_embedding(cfg, params["encoder"], jnp.concatenate([mel0, mel1], axis=0), adapters)
+    e0, e1 = both[:B], both[B:]
     emb = jnp.concatenate([e0, e1], axis=-1)
     if cfg.head == "cnn":
         return cnn_head_apply(params["head"], jnp.stack([e0, e1], axis=1))

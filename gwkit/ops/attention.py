@@ -1,0 +1,89 @@
+"""Fused attention kernel (Pallas, TPU) for the Whisper encoder.
+
+The encoder's 1500-token self-attention is the FLOPs core of every forward
+(SURVEY.md §3.1 hot loop). Unfused, XLA materializes the (B, H, T, T)
+probability tensor in HBM — at B=32, H=6, T=1536 that is ~0.9 GB of traffic
+per direction per layer. This kernel keeps each query block's score row in
+VMEM: per (batch*head, q-block) grid cell it computes
+ scores = q @ k^T (f32 on the MXU) -> masked row softmax (f32 on the VPU)
+ -> probs @ v, never writing scores/probs to HBM.
+
+T=1500 keys x 64 head-dim fit VMEM whole (k, v: ~0.4 MB at bf16), so no
+streaming (online-softmax) pass is needed — one shot per query block.
+Sequence is padded to a multiple of the 128-lane tile and padded keys are
+masked to -inf before the softmax.
+
+Numerical contract: matches the reference jnp path (tests compare in
+interpreter mode on CPU); q must arrive pre-scaled (Whisper scales q by
+head_dim^-0.5 inside the projection).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int):
+    q = q_ref[0]  # (bq, hd)
+    k = k_ref[0]  # (Tp, hd)
+    v = v_ref[0]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, Tp)
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+    scores = jnp.where(key_ids < t_valid, scores, -jnp.inf)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, T, H, hd) pre-scaled q, k, v -> (B, T, H, hd) attention output."""
+    B, T, H, hd = q.shape
+    tp = -(-T // block_q) * block_q
+
+    def fold(x):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, T, hd)
+        if tp != T:
+            x = jnp.pad(x, ((0, 0), (0, tp - T), (0, 0)))
+        return x
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    grid = (B * H, tp // block_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, t_valid=T),
+        out_shape=jax.ShapeDtypeStruct((B * H, tp, hd), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, tp, hd), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, tp, hd), lambda bh, qi: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0)),
+        interpret=interpret,
+    )(qf, kf, vf)
+    out = out[:, :T].reshape(B, H, T, hd)
+    return jnp.swapaxes(out, 1, 2)
+
+
+def reference_attention(q, k, v):
+    """Unfused jnp path (identical math, for testing and CPU)."""
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)

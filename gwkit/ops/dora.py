@@ -32,7 +32,15 @@ import jax.numpy as jnp
 
 
 def dora_row_norms(w0: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray, scaling: float) -> jnp.ndarray:
-    """Column norms (over d_in) of (w0 + scaling * a @ b) without materializing it."""
+    """Column norms (over d_in) of (w0 + scaling * a @ b) without materializing it.
+
+    Accumulates in f32 regardless of the (possibly bf16) weight dtype — the
+    norm factorization is O(r*d_in*d_out), negligible next to the batch
+    matmuls, and bf16 squared-sums would lose the norm's low bits.
+    """
+    w0 = w0.astype(jnp.float32)
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
     c0 = jnp.sum(w0 * w0, axis=0)  # (d_out,)
     m = a.T @ w0  # (r, d_out)
     cross = jnp.sum(m * b, axis=0)  # (d_out,)

@@ -149,7 +149,13 @@ def welch_psd(
 
 def interpolate_psd(psd: jnp.ndarray, delta_f_old: float, delta_f_new: float, flen_new: int) -> jnp.ndarray:
     """Linear interpolation of a one-sided PSD onto a finer/coarser grid
-    (pycbc.psd.interpolate semantics)."""
+    (pycbc.psd.interpolate semantics). Batched over leading axes."""
+    import jax
+
     old_freqs = jnp.arange(psd.shape[-1]) * delta_f_old
     new_freqs = jnp.arange(flen_new) * delta_f_new
-    return jnp.interp(new_freqs, old_freqs, psd)
+    if psd.ndim == 1:
+        return jnp.interp(new_freqs, old_freqs, psd)
+    flat = psd.reshape(-1, psd.shape[-1])
+    out = jax.vmap(lambda p: jnp.interp(new_freqs, old_freqs, p))(flat)
+    return out.reshape(psd.shape[:-1] + (flen_new,))

@@ -85,10 +85,15 @@ class QPlan:
     qs: Tuple[float, ...]
     n_common: int                      # common iFFT length (power of two)
     n_rows: Tuple[int, ...]            # rows per plane
-    # flat scatter tables over all planes' rows:
+    # flat scatter tables over all planes' rows (kept for testing):
     src_idx: np.ndarray                # index into rfft(strain) (clipped to valid)
     dst_idx: np.ndarray                # (row, position-in-common-spectrum) flat index
     weight: np.ndarray                 # bisquare window value * scale compensation
+    # dense gather formulation (the TPU fast path — scatters serialize on TPU,
+    # gathers vectorize; window sizes < ntiles so each spectrum slot has at
+    # most one source bin):
+    gather_idx: np.ndarray             # (total_rows, n_common) int32 into rfft bins
+    gather_weight: np.ndarray          # (total_rows, n_common) float32
     row_freqs: Tuple[np.ndarray, ...]  # frequencies per plane
     time_interp: Tuple[np.ndarray, ...]   # per plane (n_common, t_bins) sparse-as-dense
     freq_interp: Tuple[np.ndarray, ...]   # per plane (f_bins, n_rows)
@@ -177,15 +182,25 @@ def make_qplan(
     freq_interp = tuple(
         _bilinear_matrix(len(f), f_bins).astype(np.float32) for f in all_freqs
     )
+    src_flat = np.concatenate(src).astype(np.int32)
+    dst_flat = np.concatenate(dst).astype(np.int64)
+    wgt_flat = np.concatenate(wgt)
+    total_rows = sum(n_rows)
+    gather_idx = np.zeros(total_rows * n_common, np.int32)
+    gather_weight = np.zeros(total_rows * n_common, np.float32)
+    gather_idx[dst_flat] = src_flat
+    gather_weight[dst_flat] = wgt_flat.astype(np.float32)
     return QPlan(
         duration=duration,
         sample_rate=sample_rate,
         qs=tuple(qs),
         n_common=n_common,
         n_rows=tuple(n_rows),
-        src_idx=np.concatenate(src).astype(np.int32),
-        dst_idx=np.concatenate(dst).astype(np.int32),
-        weight=np.concatenate(wgt).astype(np.float64),
+        src_idx=src_flat,
+        dst_idx=dst_flat.astype(np.int32),
+        weight=wgt_flat,
+        gather_idx=gather_idx.reshape(total_rows, n_common),
+        gather_weight=gather_weight.reshape(total_rows, n_common),
         row_freqs=tuple(all_freqs),
         time_interp=time_interp,
         freq_interp=freq_interp,
@@ -213,13 +228,10 @@ def qscan(
     if plan is None:
         plan = make_qplan(duration, sample_rate, q_range, spectrogram_shape)
     B = strain.shape[0]
-    total_rows = sum(plan.n_rows)
 
     fseries = jnp.fft.rfft(strain.astype(jnp.float32), axis=-1)  # (B, F)
-    gathered = fseries[:, plan.src_idx] * jnp.asarray(plan.weight, jnp.float32)
-    flat = jnp.zeros((B, total_rows * plan.n_common), jnp.complex64)
-    flat = flat.at[:, plan.dst_idx].add(gathered)
-    spec = flat.reshape(B, total_rows, plan.n_common)
+    # dense gather: every (row, spectrum-slot) reads at most one rfft bin
+    spec = fseries[:, plan.gather_idx] * jnp.asarray(plan.gather_weight)
     series = jnp.fft.ifft(spec, axis=-1)
     energy = series.real ** 2 + series.imag ** 2  # (B, rows, n_common)
 

@@ -10,9 +10,17 @@ The reference has three whitening implementations (SURVEY.md §2.1):
   3. pycbc TimeSeries.whiten in the glitch builder (4 s segments)
      — same machinery as (1) with different durations.
 
-All are implemented as batched jittable device functions. PyCBC's delta_t/
-delta_f FFT scalings cancel end-to-end, so whitened output keeps pycbc's
-normalization: whitened colored noise has std ~= sqrt(sample_rate).
+All are batched jittable device functions. PyCBC's delta_t/delta_f FFT
+scalings cancel end-to-end, so whitened output keeps pycbc's normalization:
+whitened colored noise has std ~= sqrt(sample_rate).
+
+TPU numerics: raw LIGO PSDs are O(1e-42) strain^2/Hz — far below the f32
+normal range, and their inverse ASDs (1e21) overflow when squared. PyCBC
+works in f64; TPUs do not. Whitening, however, is scale-invariant, and
+inverse spectrum truncation is 1-homogeneous: IST(c*S) = c*IST(S). So every
+public function here normalizes the PSD to O(1) internally (c = mean of the
+in-band PSD) and folds the 1/sqrt(c) into the strain spectrum, keeping every
+f32 intermediate in range with no loss of accuracy.
 """
 from __future__ import annotations
 
@@ -33,11 +41,43 @@ def inverse_spectrum_truncation(
 ) -> jnp.ndarray:
     """Smooth a PSD by truncating its inverse-ASD impulse response in time.
 
-    Bit-parity with pycbc.psd.inverse_spectrum_truncation (the delta_t/delta_f
-    factors of pycbc's fft wrappers cancel): zero the inverse ASD at DC,
-    Nyquist, and below the cutoff; irfft; keep only max_filter_len samples
-    (hann-tapered) split across the start/end; rfft; return 1/|.|^2.
+    Bit-parity with pycbc.psd.inverse_spectrum_truncation: zero the inverse
+    ASD at DC, Nyquist, and below the cutoff; irfft; keep only
+    max_filter_len samples (hann-tapered) split across the start/end; rfft;
+    return 1/|.|^2. Internally normalized (IST is 1-homogeneous) so f32
+    handles strain-scale PSDs; the output is psd-scaled again, so pass PSDs
+    whose scale is representable, or use the whiten_* functions which keep
+    everything normalized.
     """
+    core, c = _normalize_psd(psd)
+    return _ist_core(core, max_filter_len, low_frequency_cutoff, delta_f, trunc_method) * c
+
+
+def _normalize_psd(psd) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scale the PSD to O(1): returns (psd/c, c) with c = mean of positive entries.
+
+    Raw f64 numpy PSDs (O(1e-42)) are normalized host-side in f64 *before*
+    the f32 device conversion — converting first would flush them subnormal.
+    """
+    if isinstance(psd, np.ndarray):
+        pos = psd > 0
+        c_np = float(psd[pos].mean()) if pos.any() else 1.0
+        return jnp.asarray((psd / c_np).astype(np.float32)), jnp.float32(c_np)
+    pos = psd > 0
+    c = jnp.sum(jnp.where(pos, psd, 0.0), axis=-1, keepdims=True) / jnp.maximum(
+        jnp.sum(pos, axis=-1, keepdims=True), 1
+    )
+    c = jnp.maximum(c, 1e-38)
+    return psd / c, c
+
+
+def _ist_core(
+    psd: jnp.ndarray,
+    max_filter_len: int,
+    low_frequency_cutoff: Optional[float],
+    delta_f: float,
+    trunc_method: Optional[str],
+) -> jnp.ndarray:
     flen = psd.shape[-1]
     n = (flen - 1) * 2
     inv_asd = jnp.where(psd > 0, 1.0 / jnp.sqrt(jnp.where(psd > 0, psd, 1.0)), 0.0)
@@ -78,23 +118,29 @@ def whiten_estimate(
     sample_rate = 1.0 / delta_t
     delta_f = 1.0 / (n * delta_t)
     flen = n // 2 + 1
+    # Whitening is invariant to an overall strain scale when the PSD is
+    # estimated from the data; normalize to unit RMS so 1e-21 strain keeps
+    # every f32 intermediate in range.
+    rms = jnp.sqrt(jnp.mean(strain.astype(jnp.float32) ** 2, axis=-1, keepdims=True))
+    rms = jnp.maximum(rms, 1e-30)
+    x = strain.astype(jnp.float32) / rms
     if psd is None:
-        est = welch_psd(strain, delta_t, segment_duration)  # (..., seg_flen)
-        unprocessed = est
+        est = welch_psd(x, delta_t, segment_duration)  # (..., seg_flen)
+        unprocessed = est * rms[..., :1] ** 2  # physical-scale PSD for callers
         est = interpolate_psd(est, 1.0 / segment_duration, delta_f, flen)
+        core, c = _normalize_psd(est)
     else:
         unprocessed = psd
         if psd.shape[-1] != flen:
-            est = interpolate_psd(psd, delta_f * (flen - 1) / (psd.shape[-1] - 1), delta_f, flen)
-        else:
-            est = jnp.broadcast_to(psd, strain.shape[:-1] + (flen,))
+            psd = interpolate_psd(psd, delta_f * (n // 2) / (psd.shape[-1] - 1), delta_f, flen)
+        core, c_phys = _normalize_psd(psd)
+        # fold physical scales together: strain/rms whitened by psd/c
+        c = c_phys / (rms ** 2)
     max_filter_len = int(max_filter_duration * sample_rate)
-    est = inverse_spectrum_truncation(
-        est, max_filter_len, low_frequency_cutoff=low_frequency_cutoff,
-        delta_f=delta_f, trunc_method="hann",
-    )
-    strain_f = jnp.fft.rfft(strain.astype(jnp.float32), axis=-1)
-    white = jnp.fft.irfft(strain_f * jnp.sqrt(1.0 / est), n, axis=-1).astype(strain.dtype)
+    core = _ist_core(core, max_filter_len, low_frequency_cutoff, delta_f, "hann")
+    strain_f = jnp.fft.rfft(x, axis=-1)
+    inv_amp = jnp.sqrt(1.0 / core) / jnp.sqrt(c)
+    white = jnp.fft.irfft(strain_f * inv_amp, n, axis=-1).astype(strain.dtype)
     if remove_corrupted:
         white = white[..., max_filter_len // 2 : n - max_filter_len // 2]
     if return_psd:
@@ -119,13 +165,12 @@ def whiten_psd(
     sample_rate = 1.0 / delta_t
     delta_f = 1.0 / (n * delta_t)
     max_filter_len = int(max_filter_duration * sample_rate)
-    psd_trunc = inverse_spectrum_truncation(
-        psd, max_filter_len, low_frequency_cutoff=low_freq_cutoff,
-        delta_f=delta_f, trunc_method="hann",
-    )
+    core, c = _normalize_psd(psd)
+    core = _ist_core(core, max_filter_len, low_freq_cutoff, delta_f, "hann")
     kmin = int(low_freq_cutoff / delta_f)
     strain_f = jnp.fft.rfft(strain.astype(jnp.float32), axis=-1)
+    inv_amp = jnp.sqrt(1.0 / core) / jnp.sqrt(c)
     mask = (jnp.arange(n // 2 + 1) >= kmin) & (jnp.arange(n // 2 + 1) != n // 2)
-    strain_f = jnp.where(mask, strain_f * jnp.sqrt(1.0 / psd_trunc), 0.0)
+    strain_f = jnp.where(mask, strain_f * inv_amp, 0.0)
     white = jnp.fft.irfft(strain_f, n, axis=-1).astype(strain.dtype)
     return white[..., max_filter_len : n - max_filter_len]

@@ -1,0 +1,148 @@
+"""Continuous-search engine: segments -> windows -> scores -> triggers -> events.
+
+get_triggers parity (MLGWSC-1/inference.py:492-589) with the TPU pipeline:
+per segment, strain is whitened on device, windows are gathered on device in
+MXU-sized batches, and a single jit'd scoring program (Q-adapter -> encoder
+per detector -> head, USR logits by default) produces signal scores. The
+score used is output[:, 0] (inference.py:481); windows above the trigger
+threshold become (time, score) triggers; clustering + the HDF5
+time/stat/var/all_vals writer complete the reference surface
+(inference.py:655-672).
+
+Model loading consumes the reference-format component checkpoints written by
+gwkit trainers: peft-compatible LoRA dir + head + Q-adapter states
+(build_model, inference.py:415-430).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Dict, List, Optional, Tuple
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gwkit.search.cluster import get_clusters
+from gwkit.search.slicer import DeviceSlicer, Segment, SlicerConfig, read_segments
+
+
+@dataclasses.dataclass
+class SearchResult:
+    triggers: Dict[str, List[List[float]]]
+    all_vals: np.ndarray
+    n_windows: int
+    strain_seconds: float
+    wall_seconds: float
+
+    @property
+    def throughput_x_realtime(self) -> float:
+        return self.strain_seconds / max(self.wall_seconds, 1e-9)
+
+
+def score_segments(
+    score_fn,
+    segments: List[Segment],
+    slicer_cfg: SlicerConfig = SlicerConfig(),
+    trigger_threshold: float = -0.5,
+    white: bool = False,
+    whitened_out: Optional[str] = None,
+    detectors: Optional[List[str]] = None,
+    verbose: bool = False,
+) -> SearchResult:
+    """Run ``score_fn(windows (B,D,L)) -> scores (B,)`` over every segment.
+
+    Returns per-segment trigger lists ([time, score] with score > threshold)
+    plus the concatenated raw score stream (all_vals debug surface).
+    """
+    triggers: Dict[str, List[List[float]]] = {}
+    all_vals: List[np.ndarray] = []
+    n_windows = 0
+    strain_seconds = 0.0
+    t0 = time.time()
+    for seg in segments:
+        slicer = DeviceSlicer(seg, slicer_cfg, white=white)
+        if whitened_out is not None:
+            with h5py.File(whitened_out, "a") as wf:
+                dets = detectors or [f"det{i}" for i in range(seg.strain.shape[0])]
+                for i, det in enumerate(dets):
+                    wf.require_group(det).create_dataset(seg.key, data=np.asarray(slicer.dss[i]))
+        # dispatch every batch asynchronously; block once per segment so the
+        # device pipeline stays full (per-batch np.asarray would sync-stall)
+        pending = []
+        for windows, times, valid in slicer.batches():
+            pending.append((score_fn(windows), times, valid))
+        seg_triggers: List[List[float]] = []
+        for dev_scores, times, valid in pending:
+            scores = np.asarray(dev_scores).reshape(-1)[: len(valid)]
+            all_vals.append(scores[valid].astype(np.float32))
+            keep = (scores > trigger_threshold) & valid
+            for ts, sc in zip(times[keep], scores[keep]):
+                seg_triggers.append([float(ts), float(sc)])
+        triggers[slicer.key] = seg_triggers
+        n_windows += len(slicer)
+        strain_seconds += seg.strain.shape[1] * seg.delta_t
+        if verbose:
+            logging.info("segment %s: %d windows, %d triggers", seg.key, len(slicer), len(seg_triggers))
+    wall = time.time() - t0
+    return SearchResult(
+        triggers=dict(sorted(triggers.items())),
+        all_vals=np.concatenate(all_vals) if all_vals else np.zeros(0, np.float32),
+        n_windows=n_windows,
+        strain_seconds=strain_seconds,
+        wall_seconds=wall,
+    )
+
+
+def get_triggers(
+    task,
+    inputfile: str,
+    trainable=None,
+    step_size: float = 0.1,
+    trigger_threshold: float = -0.5,
+    white: bool = False,
+    whitened_file: Optional[str] = None,
+    low_frequency_cutoff: float = 20.0,
+    batch_size: int = 256,
+    verbose: bool = False,
+) -> Tuple[Dict[str, List[List[float]]], np.ndarray, SearchResult]:
+    """Full reference get_triggers flow on a gwkit Task (usually mlgwsc, USR)."""
+    trainable = trainable if trainable is not None else task.trainable
+    frozen = task.frozen
+
+    @jax.jit
+    def score_fn(windows):
+        out = task.forward(trainable, frozen, windows)
+        return out[:, 0]
+
+    segments = read_segments(inputfile)
+    cfg = SlicerConfig(
+        step_size=step_size, low_frequency_cutoff=low_frequency_cutoff, batch_size=batch_size
+    )
+    result = score_segments(
+        score_fn, segments, cfg, trigger_threshold=trigger_threshold,
+        white=white, whitened_out=whitened_file, verbose=verbose,
+    )
+    return result.triggers, result.all_vals, result
+
+
+def write_search_output(
+    path: str,
+    triggers: Dict[str, List[List[float]]],
+    all_vals: np.ndarray,
+    cluster_threshold: float = 0.35,
+    raw_triggers_path: Optional[str] = None,
+) -> None:
+    """Cluster and write the reference HDF5 output (inference.py:655-672)."""
+    if raw_triggers_path is not None:
+        with h5py.File(raw_triggers_path, "w") as dbg:
+            for key, trig_list in triggers.items():
+                dbg.create_dataset(key, data=np.asarray(trig_list, dtype=np.float32))
+    times, stats, tvars = get_clusters(triggers, cluster_threshold)
+    with h5py.File(path, "w") as out:
+        out.create_dataset("time", data=times)
+        out.create_dataset("stat", data=stats)
+        out.create_dataset("var", data=tvars)
+        out.create_dataset("all_vals", data=np.asarray(all_vals, np.float32))

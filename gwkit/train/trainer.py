@@ -1,0 +1,188 @@
+"""Supervised training harness: jit data-parallel steps, checkpoints, early stop.
+
+Lifecycle parity with the reference's trainers (SURVEY.md §2.5):
+  * param-filtered optimization — only adapters/heads/Q-adapter train; the
+    encoder base is frozen *by construction* (it lives in the frozen pytree),
+    replacing peft's requires_grad filtering (MLGWSC-1/train.py:496-504,
+    Signal_vs_Noise/src/train.py:277)
+  * Adam/AdamW + global-norm gradient clipping (clip 100, train.py:538)
+  * per-epoch train/valid loss, losses.txt lines "epoch\ttrain\tval"
+    (train.py:567-580), TensorBoard-style scalars via a metrics callback
+  * last/best/per-epoch checkpoints, resume latest|best, early stopping
+    (train.py:546-640), component export on new best
+  * curriculum scheduler hooks (Efficiency_test/src/train.py:81-219).
+
+TPU design: one jit'd train_step(trainable, opt_state, batch, key, snr_range)
+over a ("data","model") mesh. Batches are device-resident; injection mixing
+happens inside the step; the SNR range is a traced argument so curriculum
+steps reuse the compiled program.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gwkit.train.checkpoints import CheckpointManager
+from gwkit.train.curriculum import CurriculumScheduler
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 5e-5
+    clip_norm: float = 100.0
+    epochs: int = 100
+    batch_size: int = 128
+    early_stop_patience: int = 10
+    seed: int = 42
+    optimizer: str = "adam"  # "adam" (MLGWSC-1) | "adamw" (Signal_vs_Noise)
+    weight_decay: float = 0.01
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    opt = (
+        optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+        if cfg.optimizer == "adamw"
+        else optax.adam(cfg.learning_rate)
+    )
+    if cfg.clip_norm and cfg.clip_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(cfg.clip_norm), opt)
+    return opt
+
+
+class Trainer:
+    """Generic supervised trainer.
+
+    ``loss_fn(trainable, frozen, batch, key) -> (loss, aux)`` defines the
+    workload; ``batch`` is whatever the dataset iterator yields (already on
+    device).
+    """
+
+    def __init__(
+        self,
+        loss_fn: Callable,
+        trainable: Any,
+        frozen: Any,
+        cfg: TrainConfig = TrainConfig(),
+        export_components: Optional[Callable] = None,
+        metrics_callback: Optional[Callable] = None,
+    ):
+        self.cfg = cfg
+        self.frozen = frozen
+        self.trainable = trainable
+        self.optimizer = make_optimizer(cfg)
+        self.opt_state = self.optimizer.init(trainable)
+        self.export_components = export_components
+        self.metrics_callback = metrics_callback  # (epoch, {"train_loss":..,..}) -> None
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(trainable, opt_state, batch, key):
+            def scalar_loss(tr):
+                loss, aux = loss_fn(tr, frozen, batch, key)
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(scalar_loss, has_aux=True)(trainable)
+            updates, opt_state = self.optimizer.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, loss, aux
+
+        @jax.jit
+        def eval_step(trainable, batch, key):
+            return loss_fn(trainable, frozen, batch, key)
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    def run_epoch(self, batches: Iterable, key, train: bool = True):
+        """Returns (mean_loss, list_of_aux)."""
+        total, count, auxes = 0.0, 0, []
+        for batch in batches:
+            key, sub = jax.random.split(key)
+            if train:
+                self.trainable, self.opt_state, loss, aux = self._train_step(
+                    self.trainable, self.opt_state, batch, sub
+                )
+            else:
+                loss, aux = self._eval_step(self.trainable, batch, sub)
+            total += float(loss)
+            count += 1
+            auxes.append(jax.tree.map(np.asarray, aux))
+        return total / max(count, 1), auxes
+
+    def fit(
+        self,
+        train_batches: Callable[[Any], Iterable],
+        valid_batches: Callable[[Any], Iterable],
+        outdir: str,
+        resume: Optional[str] = None,
+        force: bool = False,
+        scheduler: Optional[CurriculumScheduler] = None,
+        eval_callback: Optional[Callable] = None,
+    ) -> float:
+        """Full training lifecycle. ``train_batches(key)`` yields one epoch of
+        device batches. Returns the best validation loss."""
+        cfg = self.cfg
+        os.makedirs(outdir, exist_ok=True)
+        losses_path = os.path.join(outdir, "losses.txt")
+        if os.path.isfile(losses_path) and not (force or resume):
+            raise RuntimeError(f"Output file exists: {losses_path}")
+
+        ckpt = CheckpointManager(outdir, export_components=self.export_components)
+        start_epoch, best_val = 1, float("inf")
+        if resume:
+            start_epoch, best_val, self.trainable, self.opt_state = ckpt.resume(
+                resume, self.trainable, self.opt_state
+            )
+            logging.info("Resumed (%s) at epoch %d, best_val=%.6e", resume, start_epoch, best_val)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        patience = 0
+        with open(losses_path, "a", buffering=1) as f:
+            for epoch in range(start_epoch, cfg.epochs + 1):
+                key, k_train, k_valid = jax.random.split(key, 3)
+                t0 = time.time()
+                train_loss, _ = self.run_epoch(train_batches(k_train), k_train, train=True)
+                val_loss, val_aux = self.run_epoch(valid_batches(k_valid), k_valid, train=False)
+                dt = time.time() - t0
+
+                f.write(f"{epoch:04d}\t{train_loss:.6f}\t{val_loss:.6f}\n")
+                logging.info(
+                    "epoch %04d train %.6f valid %.6f (%.1fs)", epoch, train_loss, val_loss, dt
+                )
+                metrics = {"train_loss": train_loss, "val_loss": val_loss, "epoch_seconds": dt}
+                if eval_callback is not None:
+                    metrics.update(eval_callback(epoch, self.trainable, val_aux) or {})
+                if self.metrics_callback is not None:
+                    self.metrics_callback(epoch, metrics)
+
+                is_best = val_loss < best_val
+                if is_best:
+                    best_val = val_loss
+                    patience = 0
+                    logging.info("New best @ epoch %04d — val_loss=%.6e", epoch, val_loss)
+                else:
+                    patience += 1
+                ckpt.save_epoch(epoch, best_val, self.trainable, self.opt_state, is_best)
+
+                if scheduler is not None:
+                    scheduler.step(val_loss)
+                    if scheduler.interrupt:
+                        logging.info("Curriculum scheduler interrupt at epoch %04d.", epoch)
+                        break
+                if patience >= cfg.early_stop_patience:
+                    logging.info("Early stopping (patience %d) at epoch %04d.", cfg.early_stop_patience, epoch)
+                    break
+        logging.info("Training complete. Best validation loss: %.6f", best_val)
+        return best_val
+
+    def reset_optimizer(self) -> None:
+        """Optimizer-state reset on curriculum step (tools.py:204-224)."""
+        self.opt_state = self.optimizer.init(self.trainable)

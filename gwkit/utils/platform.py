@@ -27,6 +27,19 @@ def force_cpu(n_virtual_devices: int | None = None, matmul_precision: str = "hig
     jax.config.update("jax_platforms", "cpu")
     if matmul_precision:
         jax.config.update("jax_default_matmul_precision", matmul_precision)
+    enable_compilation_cache()
+
+
+def enable_compilation_cache(path: str = "/tmp/gwkit_jax_cache") -> None:
+    """Persistent XLA compilation cache — compiles on this box are expensive
+    (single slow CPU; remote-compile TPU path), so amortize across runs."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
 
 def precise_matmuls() -> None:

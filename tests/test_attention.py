@@ -1,0 +1,47 @@
+"""Fused-attention kernel vs the reference jnp path (Pallas interpret mode
+on the CPU backend; the compiled kernel runs on TPU in bench/serving)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gwkit.ops.attention import flash_attention, reference_attention
+
+
+@pytest.mark.parametrize("t", [128, 300])  # 300 exercises the pad+mask path
+def test_flash_attention_matches_reference(rng, t):
+    B, H, hd = 2, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, t, H, hd)).astype(np.float32)) * hd ** -0.5
+    k = jnp.asarray(rng.normal(size=(B, t, H, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, t, H, hd)).astype(np.float32))
+    ref = np.asarray(reference_attention(q, k, v))
+    ours = np.asarray(flash_attention(q, k, v, block_q=128, interpret=True))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_encoder_flash_flag_matches(rng):
+    """Encoder with use_flash_attention (interpret on CPU) == without."""
+    import dataclasses
+
+    from gwkit.models.whisper import WhisperConfig, encoder_apply, init_encoder_params
+    import gwkit.models.whisper as W
+
+    cfg = WhisperConfig(d_model=64, n_heads=2, n_layers=2, d_ff=128, max_positions=64)
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    mel = jnp.asarray(rng.normal(size=(1, 80, 128)).astype(np.float32))
+    base = encoder_apply(cfg, params, mel)
+
+    # monkeypatch flash to interpret mode for the CPU test backend
+    orig = W.__dict__.get("_flash_interp_patch")
+    from gwkit.ops import attention as A
+
+    real_flash = A.flash_attention
+    A_flash_interp = lambda q, k, v: real_flash(q, k, v, interpret=True)
+    A.flash_attention = A_flash_interp
+    try:
+        flash_cfg = dataclasses.replace(cfg, use_flash_attention=True)
+        out = encoder_apply(flash_cfg, params, mel)
+    finally:
+        A.flash_attention = real_flash
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), rtol=2e-4, atol=2e-4)
