@@ -37,11 +37,15 @@ def main():
     on_tpu = platform != "cpu"
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
+    from gwkit.models.qadapter import QAdapterConfig
+
     enc = config_for(
         "tiny", compute_dtype=compute_dtype,
         use_flash_attention=on_tpu and os.environ.get("BENCH_FLASH", "1") == "1",
+        gelu_approx=True,  # training/serving use the same activation; ~1e-3 vs erf
     )
-    task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc)
+    qcfg = QAdapterConfig(median_stride=int(os.environ.get("BENCH_MEDIAN_STRIDE", "8")))
+    task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc, qcfg=qcfg)
 
     @jax.jit
     def score_fn(windows):
@@ -54,9 +58,10 @@ def main():
     seg = Segment(key="bench", strain=strain, start_time=0.0, delta_t=1.0 / fs)
     cfg = SlicerConfig(batch_size=batch)
 
-    # warmup: compile whitening + scoring
-    warm = Segment(key="warm", strain=strain[:, : 8 * fs], start_time=0.0, delta_t=1.0 / fs)
-    score_segments(score_fn, [warm], cfg, trigger_threshold=10.0)
+    # warmup on the SAME segment geometry: whitening compiles per segment
+    # length, so a different warmup length would leave the measured pass
+    # paying a fresh XLA compile.
+    score_segments(score_fn, [seg], cfg, trigger_threshold=10.0)
 
     result = score_segments(score_fn, [seg], cfg, trigger_threshold=10.0)
     x_rt = result.throughput_x_realtime

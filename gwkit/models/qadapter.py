@@ -39,6 +39,7 @@ class QAdapterConfig:
     n_detectors: int = 2
     channels: Tuple[int, int, int] = (32, 64, 128)  # train.py geometry; (16,32,64) = inference.py
     qscan_norm: str = "median"
+    median_stride: int = 1  # >1: strided median estimate (see ops.qtransform.qscan)
 
 
 @functools.lru_cache(maxsize=8)
@@ -107,7 +108,9 @@ def qadapter_apply(cfg: QAdapterConfig, params, strain: jnp.ndarray) -> jnp.ndar
     B, D, T = strain.shape
     flat = strain.reshape(B * D, T)
     plan = make_qplan(cfg.kernel_length, float(cfg.sample_rate), cfg.q_range, cfg.spectrogram_shape)
-    qspec = jax.lax.stop_gradient(qscan(flat, plan, norm=cfg.qscan_norm))
+    qspec = jax.lax.stop_gradient(
+        qscan(flat, plan, norm=cfg.qscan_norm, median_stride=cfg.median_stride)
+    )
     x = qspec[..., None]  # (B*D, F, T, 1) NHWC
     x = jax.nn.relu(_conv2d(x, params["conv1"], ((1, 1), (1, 1))))
     x = _max_pool2(x)

@@ -46,6 +46,7 @@ class WhisperConfig:
     compute_dtype: Any = jnp.float32
     remat: bool = False
     use_flash_attention: bool = False
+    gelu_approx: bool = False  # tanh GELU (~1e-3 rel diff vs erf, saves VPU transcendentals)
 
     @property
     def head_dim(self) -> int:
@@ -129,11 +130,14 @@ def init_encoder_params(key, cfg: WhisperConfig) -> Params:
 
 
 def _layer_norm(x, p, eps=1e-5):
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return (y * p["g"] + p["b"]).astype(x.dtype)
+    # stats accumulate in f32; the normalized tensor stays in the compute
+    # dtype (bf16 on TPU) — the f32 upcast would double the HBM traffic of
+    # the residual stream, which dominates the encoder's VPU passes
+    mean = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
+    var = jnp.var(x.astype(jnp.float32), axis=-1, keepdims=True)
+    scale = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    y = (x - mean.astype(x.dtype)) * scale
+    return y * p["g"].astype(x.dtype) + p["b"].astype(x.dtype)
 
 
 def _proj(x, p, adapter=None):
@@ -172,7 +176,7 @@ def _block(x, p, cfg: WhisperConfig, adapters=None):
     h = _layer_norm(x, p["attn_ln"])
     x = x + _attention(h, p, cfg, adapters)
     h = _layer_norm(x, p["mlp_ln"])
-    h = jax.nn.gelu(_proj(h, p["fc1"]), approximate=False)
+    h = jax.nn.gelu(_proj(h, p["fc1"]), approximate=cfg.gelu_approx)
     x = x + _proj(h, p["fc2"])
     return x
 
@@ -200,8 +204,8 @@ def encoder_apply(
     """
     dt = cfg.compute_dtype
     x = jnp.swapaxes(mel, -1, -2).astype(dt)  # (B, T=3000, n_mels)
-    x = jax.nn.gelu(_conv1d(x, jax.tree.map(lambda a: a.astype(dt), params["conv1"]), 1), approximate=False)
-    x = jax.nn.gelu(_conv1d(x, jax.tree.map(lambda a: a.astype(dt), params["conv2"]), 2), approximate=False)
+    x = jax.nn.gelu(_conv1d(x, jax.tree.map(lambda a: a.astype(dt), params["conv1"]), 1), approximate=cfg.gelu_approx)
+    x = jax.nn.gelu(_conv1d(x, jax.tree.map(lambda a: a.astype(dt), params["conv2"]), 2), approximate=cfg.gelu_approx)
     x = x + params["pos"][: x.shape[1]].astype(dt)
 
     block = _block

@@ -28,22 +28,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int):
-    q = q_ref[0]  # (bq, hd)
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int, block_q: int):
+    """One (batch*head) per grid cell; the q axis is walked with an internal
+    loop so the whole sequence costs ONE kernel invocation (per-invocation
+    dispatch overhead dominated the earlier (bh, q-block) grid: 9216 cells of
+    ~50 MFLOP each ran 25x off peak)."""
     k = k_ref[0]  # (Tp, hd)
     v = v_ref[0]
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, Tp)
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
-    scores = jnp.where(key_ids < t_valid, scores, -jnp.inf)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o_ref[0] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    n_blocks = q_ref.shape[1] // block_q
+
+    def body(i, _):
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]  # (bq, hd)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, Tp)
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+        scores = jnp.where(key_ids < t_valid, scores, -jnp.inf)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / denom).astype(v.dtype)
+        o_ref[0, pl.ds(i * block_q, block_q), :] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
@@ -51,7 +61,7 @@ def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 128,
+    block_q: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(B, T, H, hd) pre-scaled q, k, v -> (B, T, H, hd) attention output."""
@@ -65,17 +75,17 @@ def flash_attention(
         return x
 
     qf, kf, vf = fold(q), fold(k), fold(v)
-    grid = (B * H, tp // block_q)
+    grid = (B * H,)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, t_valid=T),
+        functools.partial(_attn_kernel, t_valid=T, block_q=block_q),
         out_shape=jax.ShapeDtypeStruct((B * H, tp, hd), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, tp, hd), lambda bh, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, tp, hd), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, tp, hd), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, tp, hd), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, tp, hd), lambda bh: (bh, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0)),
+        out_specs=pl.BlockSpec((1, tp, hd), lambda bh: (bh, 0, 0)),
         interpret=interpret,
     )(qf, kf, vf)
     out = out[:, :T].reshape(B, H, T, hd)

@@ -67,9 +67,10 @@ def dora_linear(
     low_rank = (x @ a) @ b
     y = base + scaling * low_rank
     if "m" in adapter:
-        norms = dora_row_norms(w0, a, b, scaling)
+        norms = dora_row_norms(w0, a, b, scaling)  # f32 accumulation
         norms = jax.lax.stop_gradient(norms)  # DoRA paper / peft: norm is constant wrt grads
-        y = y * (adapter["m"] / norms)
+        scale = (adapter["m"].astype(jnp.float32) / norms).astype(y.dtype)
+        y = y * scale
     if bias is not None:
         y = y + bias
     return y

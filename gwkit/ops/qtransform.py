@@ -217,6 +217,7 @@ def qscan(
     q_range: Tuple[float, float] = (4.0, 128.0),
     spectrogram_shape: Tuple[int, int] = (128, 128),
     norm: str = "median",
+    median_stride: int = 1,
 ) -> jnp.ndarray:
     """Q-scan of (B, N) strain -> (B, f_bins, t_bins) normalized energy.
 
@@ -224,6 +225,12 @@ def qscan(
     time per row, GWpy default), interpolates each plane to the fixed
     spectrogram shape, and returns per-sample the plane with the largest
     peak energy (QScan semantics).
+
+    ``median_stride`` > 1 estimates the row median from every k-th sample —
+    the normalizer is itself a statistical estimate, and subsampling only
+    widens its sampling error (~sqrt(k)); the TPU sort underlying
+    jnp.median is the single most expensive op of the scan, so the serving
+    path uses stride 8 (see QAdapterConfig) while golden tests keep 1.
     """
     if plan is None:
         plan = make_qplan(duration, sample_rate, q_range, spectrogram_shape)
@@ -236,7 +243,8 @@ def qscan(
     energy = series.real ** 2 + series.imag ** 2  # (B, rows, n_common)
 
     if norm == "median":
-        denom = jnp.median(energy, axis=-1, keepdims=True)
+        sample = energy[..., ::median_stride] if median_stride > 1 else energy
+        denom = jnp.median(sample, axis=-1, keepdims=True)
     elif norm == "mean":
         denom = jnp.mean(energy, axis=-1, keepdims=True)
     else:
