@@ -22,6 +22,8 @@ import numpy as np
 
 
 def main():
+    # (persistent compile cache intentionally NOT enabled: it hangs the
+    # axon remote-compile relay; see gwkit.utils.platform notes)
     import jax
     import jax.numpy as jnp
 

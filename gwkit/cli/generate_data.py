@@ -15,7 +15,13 @@ def parse_args(argv=None):
 
     ch = sub.add_parser("challenge", help="Foreground/background/injection files (generate_data.py).")
     ch.add_argument("-d", "--dataset", type=int, default=1, choices=[1, 2, 3],
-                    help="Challenge dataset flavor (1: design-PSD Gaussian noise).")
+                    help="Challenge dataset flavor. 1: analytic design-PSD Gaussian "
+                         "noise (self-contained). 2/3: per-detector measured PSDs — "
+                         "supply --psd-file (dataset 4's real-noise download needs "
+                         "network access and is out of scope in this build; its "
+                         "time-slide machinery lives in gwkit.data.segments).")
+    ch.add_argument("--psd-file", type=str, action="append", default=None,
+                    metavar="DET=PATH", help="Per-detector ASD/PSD file, e.g. H1=/path/psd.txt (repeatable).")
     ch.add_argument("-f", "--output-foreground-file", type=str, required=True)
     ch.add_argument("-b", "--output-background-file", type=str, required=True)
     ch.add_argument("-i", "--output-injection-file", type=str, required=True)
@@ -43,9 +49,15 @@ def main(argv=None):
 
         for path in (args.output_foreground_file, args.output_background_file, args.output_injection_file):
             check_file_existence(path, args.force)
+        psd_names = None
+        if args.psd_file:
+            psd_names = dict(spec.split("=", 1) for spec in args.psd_file)
+        elif args.dataset in (2, 3):
+            raise SystemExit("datasets 2/3 need --psd-file DET=PATH per detector")
         generate_challenge_data(
             args.output_foreground_file, args.output_background_file, args.output_injection_file,
             duration=args.duration, sample_rate=args.sample_rate, seed=args.seed,
+            psd_names=psd_names,
         )
         print("challenge data written")
     elif args.mode == "training":

@@ -24,6 +24,8 @@ def parse_args(argv=None):
     p.add_argument("--n-frames", type=int, default=3000,
                    help="Mel context length (3000 = Whisper/reference parity).")
     p.add_argument("--input-sample-rate", type=int, default=2048)
+    p.add_argument("--detectors", type=int, default=2, choices=[1, 2],
+                   help="2 = two-channel H1/L1 (src/train.py); 1 = single-detector (sd_train.py).")
     p.add_argument("--resume", nargs="?", const="latest", default=None, choices=["latest", "best"])
     return p.parse_args(argv)
 
@@ -55,6 +57,7 @@ def main(argv=None):
         encoder_params=load_encoder_params(args, args.encoder),
         input_sample_rate=args.input_sample_rate,
         n_frames=args.n_frames,
+        n_detectors=args.detectors,
     )
     trainer = Trainer(
         task.loss_fn, task.trainable, task.frozen,

@@ -51,12 +51,27 @@ def score_segments(
     whitened_out: Optional[str] = None,
     detectors: Optional[List[str]] = None,
     verbose: bool = False,
+    mesh=None,
 ) -> SearchResult:
     """Run ``score_fn(windows (B,D,L)) -> scores (B,)`` over every segment.
 
     Returns per-segment trigger lists ([time, score] with score > threshold)
     plus the concatenated raw score stream (all_vals debug surface).
+
+    ``mesh``: optional jax Mesh — window batches are resharded over its
+    "data" axis before scoring, so one host's whitened segment fans out over
+    all its chips (SURVEY.md §2.9: shard-by-segment across hosts +
+    shard-by-window across chips; trigger lists gather host-side).
+    Batch size must divide by the mesh's data-axis size.
     """
+    batch_sharding = None
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gwkit.parallel.mesh import DATA_AXIS
+
+        batch_sharding = NamedSharding(mesh, P(DATA_AXIS, None, None))
     triggers: Dict[str, List[List[float]]] = {}
     all_vals: List[np.ndarray] = []
     n_windows = 0
@@ -73,6 +88,10 @@ def score_segments(
         # device pipeline stays full (per-batch np.asarray would sync-stall)
         pending = []
         for windows, times, valid in slicer.batches():
+            if batch_sharding is not None:
+                import jax
+
+                windows = jax.device_put(windows, batch_sharding)
             pending.append((score_fn(windows), times, valid))
         seg_triggers: List[List[float]] = []
         for dev_scores, times, valid in pending:

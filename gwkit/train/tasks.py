@@ -83,9 +83,14 @@ def build_signal_vs_noise(
     encoder_params=None,
     input_sample_rate: int = 2048,
     n_frames: int = 3000,
+    n_detectors: int = 2,
     **enc_overrides,
 ) -> Task:
-    """Two-detector binary classification on the speech log-mel front end.
+    """Binary classification on the speech log-mel front end.
+
+    ``n_detectors=2`` is the two-channel H1/L1 model (Signal_vs_Noise/src/
+    train.py); ``n_detectors=1`` is the single-detector variant (sd_train.py,
+    Efficiency_test) using the one-channel head.
 
     ``n_frames`` < 3000 truncates Whisper's 30 s context: 1 s strain windows
     only occupy ~103 mel frames, so the reference pays ~29x dead attention/
@@ -96,15 +101,21 @@ def build_signal_vs_noise(
     enc_cfg = encoder if isinstance(encoder, WhisperConfig) else config_for(encoder, **enc_overrides)
     if n_frames != 3000 and enc_cfg.max_positions > n_frames // 2:
         enc_cfg = dataclasses.replace(enc_cfg, max_positions=n_frames // 2)
-    cfg = ClassifierConfig(encoder=enc_cfg, head="two_channel", num_classes=num_classes)
+    head_name = "two_channel" if n_detectors == 2 else "one_channel"
+    cfg = ClassifierConfig(encoder=enc_cfg, head=head_name, num_classes=num_classes,
+                           n_detectors=n_detectors)
     frozen_enc, adapters, head = _split_trainable(key, enc_cfg, acfg, cfg, encoder_params)
     frozen = {"encoder": frozen_enc}
     trainable = {"adapters": adapters, "head": head}
 
     def forward(trainable, frozen, strain):
-        """strain (B, 2, T@2048Hz) -> logits (B, num_classes)."""
+        """strain (B, D, T@2048Hz) -> logits (B, num_classes)."""
         audio = resample_timeseries(strain, input_sample_rate, 16000)
         params = {"encoder": frozen["encoder"], "head": trainable["head"]}
+        if n_detectors == 1:
+            audio1 = audio[:, 0] if audio.ndim == 3 else audio
+            mel = whisper_log_mel(audio1, pad_to=n_frames * 160, num_frames=n_frames)
+            return one_channel_apply(cfg, params, mel, trainable["adapters"])
         mel0 = whisper_log_mel(audio[:, 0], pad_to=n_frames * 160, num_frames=n_frames)
         mel1 = whisper_log_mel(audio[:, 1], pad_to=n_frames * 160, num_frames=n_frames)
         return two_channel_apply(cfg, params, mel0, mel1, trainable["adapters"])

@@ -134,6 +134,14 @@ class Trainer:
         losses_path = os.path.join(outdir, "losses.txt")
         if os.path.isfile(losses_path) and not (force or resume):
             raise RuntimeError(f"Output file exists: {losses_path}")
+        # serialize the run config beside the checkpoints (SURVEY.md §5:
+        # the reference has no config system; adapter_config.json was its
+        # only serialized config)
+        import dataclasses as _dc
+        import json as _json
+
+        with open(os.path.join(outdir, "train_config.json"), "w") as cf:
+            _json.dump(_dc.asdict(cfg), cf, indent=2, default=str)
 
         ckpt = CheckpointManager(outdir, export_components=self.export_components)
         start_epoch, best_val = 1, float("inf")

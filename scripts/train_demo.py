@@ -24,6 +24,8 @@ def main():
         from gwkit.utils.platform import force_cpu
 
         force_cpu()
+    # NB: do NOT enable the persistent compilation cache on the axon TPU
+    # backend — it interacts badly with the remote-compile relay (hangs).
     import h5py
     import jax
 
@@ -40,7 +42,7 @@ def main():
     n_train = int(os.environ.get("DEMO_TRAIN", "2048"))
     n_valid = int(os.environ.get("DEMO_VALID", "512"))
     epochs = int(os.environ.get("DEMO_EPOCHS", "12"))
-    batch = int(os.environ.get("DEMO_BATCH", "64"))
+    batch = int(os.environ.get("DEMO_BATCH", "32"))
     print(f"devices: {jax.devices()}")
 
     with tempfile.TemporaryDirectory() as d:
@@ -55,7 +57,7 @@ def main():
 
         on_tpu = jax.devices()[0].platform != "cpu"
         enc = config_for("tiny", compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-                         use_flash_attention=on_tpu)
+                         use_flash_attention=on_tpu, remat=True, gelu_approx=on_tpu)
         task = build_mlgwsc(
             jax.random.PRNGKey(0), encoder=enc,
             acfg=AdapterConfig(r=8, alpha=32, use_dora=True, targets="qkvo"),

@@ -20,6 +20,18 @@ def test_flash_attention_matches_reference(rng, t):
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
 
 
+def test_flash_attention_gradients(rng):
+    """custom_vjp: gradients through the kernel equal the reference path's."""
+    B, t, H, hd = 2, 70, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, t, H, hd)).astype(np.float32)) * hd ** -0.5
+    k = jnp.asarray(rng.normal(size=(B, t, H, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, t, H, hd)).astype(np.float32))
+    g1 = jax.grad(lambda *a: flash_attention(*a, block_q=64, interpret=True).sum(), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: reference_attention(*a).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 def test_encoder_flash_flag_matches(rng):
     """Encoder with use_flash_attention (interpret on CPU) == without."""
     import dataclasses
