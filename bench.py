@@ -41,12 +41,22 @@ def main():
 
     from gwkit.models.qadapter import QAdapterConfig
 
+    # Production geometry: the Q-adapter's (80, target_frames) output is an
+    # upsampled 128^2 spectrogram — target 512 carries the same information
+    # as the reference's 3000 at ~6x less encoder compute, and trains to the
+    # same AUC (scripts/train_demo.py DEMO_TARGET=512 vs 3000). Set
+    # BENCH_TARGET_FRAMES=3000 for the reference/Whisper-checkpoint geometry.
+    target_frames = int(os.environ.get("BENCH_TARGET_FRAMES", "512"))
     enc = config_for(
         "tiny", compute_dtype=compute_dtype,
         use_flash_attention=on_tpu and os.environ.get("BENCH_FLASH", "1") == "1",
         gelu_approx=True,  # training/serving use the same activation; ~1e-3 vs erf
+        max_positions=target_frames // 2,
     )
-    qcfg = QAdapterConfig(median_stride=int(os.environ.get("BENCH_MEDIAN_STRIDE", "8")))
+    qcfg = QAdapterConfig(
+        median_stride=int(os.environ.get("BENCH_MEDIAN_STRIDE", "8")),
+        target_shape=(80, target_frames),
+    )
     task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc, qcfg=qcfg)
 
     @jax.jit

@@ -47,6 +47,7 @@ class WhisperConfig:
     remat: bool = False
     use_flash_attention: bool = False
     gelu_approx: bool = False  # tanh GELU (~1e-3 rel diff vs erf, saves VPU transcendentals)
+    fused_mlp: bool = False  # Pallas LN+MLP+residual kernel (TPU only)
 
     @property
     def head_dim(self) -> int:
@@ -175,6 +176,14 @@ def _attention(x, p, cfg: WhisperConfig, adapters=None):
 def _block(x, p, cfg: WhisperConfig, adapters=None):
     h = _layer_norm(x, p["attn_ln"])
     x = x + _attention(h, p, cfg, adapters)
+    if cfg.fused_mlp:
+        from gwkit.ops.fused_mlp import fused_mlp_block
+
+        return fused_mlp_block(
+            x, p["mlp_ln"]["g"], p["mlp_ln"]["b"],
+            p["fc1"]["w"], p["fc1"]["b"], p["fc2"]["w"], p["fc2"]["b"],
+            approx=cfg.gelu_approx,
+        )
     h = _layer_norm(x, p["mlp_ln"])
     h = jax.nn.gelu(_proj(h, p["fc1"]), approximate=cfg.gelu_approx)
     x = x + _proj(h, p["fc2"])

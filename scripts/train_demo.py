@@ -56,12 +56,17 @@ def main():
         print(f"train: {len(train_ds)} samples ({train_ds.n_waveforms} injections)")
 
         on_tpu = jax.devices()[0].platform != "cpu"
+        # target_frames 3000 = reference/Whisper-checkpoint geometry; 512 = the
+        # TPU-native geometry (the Q-adapter's (80,3000) is pure upsampling of
+        # a 128^2 spectrogram — no information, 6x the encoder FLOPs)
+        target_frames = int(os.environ.get("DEMO_TARGET", "3000"))
         enc = config_for("tiny", compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-                         use_flash_attention=on_tpu, remat=True, gelu_approx=on_tpu)
+                         use_flash_attention=on_tpu, remat=True, gelu_approx=on_tpu,
+                         max_positions=target_frames // 2)
         task = build_mlgwsc(
             jax.random.PRNGKey(0), encoder=enc,
             acfg=AdapterConfig(r=8, alpha=32, use_dora=True, targets="qkvo"),
-            qcfg=QAdapterConfig(median_stride=8),
+            qcfg=QAdapterConfig(median_stride=8, target_shape=(80, target_frames)),
         )
         trainer = Trainer(
             task.loss_fn, task.trainable, task.frozen,
