@@ -12,6 +12,9 @@ def add_common_args(parser: ArgumentParser) -> None:
     parser.add_argument("--force", action="store_true", help="Overwrite existing outputs.")
     parser.add_argument("--seed", type=int, default=42, help="Random seed.")
     parser.add_argument("--cpu", action="store_true", help="Force the CPU backend.")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="Raise on NaN in any jit output (the reference's "
+                             "torch.autograd.set_detect_anomaly analogue).")
 
 
 def setup(args) -> None:
@@ -19,6 +22,10 @@ def setup(args) -> None:
         from gwkit.utils.platform import force_cpu
 
         force_cpu()
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     configure_logging(verbose=args.verbose, debug=args.debug)
 
 

@@ -54,6 +54,7 @@ def main(argv=None):
         acfg=build_adapter_config(args), num_classes=args.num_classes,
         encoder_params=load_encoder_params(args, args.encoder),
         input_sample_rate=args.input_sample_rate, full_finetune=args.full_finetune,
+        n_frames=args.n_frames,
     )
     trainer = Trainer(
         task.loss_fn, task.trainable, task.frozen,

@@ -87,13 +87,16 @@ class CheckpointManager:
 
 
 def orbax_save(path: str, tree: Any) -> None:
-    """Async-capable orbax path for large multi-host checkpoints."""
+    """Async-capable orbax path for large multi-host checkpoints
+    (StandardCheckpointer saves asynchronously; closing waits for finalization)."""
     import orbax.checkpoint as ocp
 
-    ocp.StandardCheckpointer().save(os.path.abspath(path), tree, force=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree, force=True)
 
 
 def orbax_load(path: str, like: Any) -> Any:
     import orbax.checkpoint as ocp
 
-    return ocp.StandardCheckpointer().restore(os.path.abspath(path), target=like)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), target=like)
