@@ -129,14 +129,28 @@ def generate_challenge_data(
         for det in detectors:
             bg.create_group(det)
             fg.create_group(det)
+        # Hour-scale segments are synthesized in fixed 2^19-sample (256 s)
+        # chunks: one power-of-two FFT compiled once, bounded device memory
+        # (the reference chunks at 1 h for the same reason,
+        # generate_data.py:404-434; chunk boundaries are not phase-continuous
+        # there either). The last chunk is generated full and trimmed.
+        n_chunk = 1 << 19
+        psd_chunk = {}
+        for det in detectors:
+            psd_chunk[det] = _normalized_psd(psd_names[det], n_chunk, sample_rate, f_lower - 2.0)
         for si, (start, end) in enumerate(spans):
             n = int(round((end - start) * sample_rate))
             seg_noise = {}
             for det in detectors:
-                psd_n, c = _normalized_psd(psd_names[det], n, sample_rate, f_lower - 2.0)
-                key, sub = jax.random.split(key)
-                noise = np.asarray(colored_noise(sub, n, 1.0 / sample_rate, psd_n)) * np.sqrt(c)
-                seg_noise[det] = noise.astype(np.float32)
+                psd_n, c = psd_chunk[det]
+                rows = []
+                remaining = n
+                while remaining > 0:
+                    key, sub = jax.random.split(key)
+                    chunk = np.asarray(colored_noise(sub, n_chunk, 1.0 / sample_rate, psd_n))
+                    rows.append(chunk[: min(n_chunk, remaining)])
+                    remaining -= n_chunk
+                seg_noise[det] = (np.concatenate(rows) * np.sqrt(c)).astype(np.float32)
             # injections falling in this segment
             mask = (params["tc"] >= start) & (params["tc"] < end)
             idxs = np.flatnonzero(mask)

@@ -89,6 +89,36 @@ def get_event_list_from_triggers(triggers, cluster_boundaries) -> List[Tuple[flo
     return events
 
 
+def get_event_list(values: np.ndarray, sample_times: np.ndarray, cluster_boundaries) -> List[Tuple[float, float]]:
+    """Max of the score *series* within each cluster boundary -> events
+    (bnslib.py:302-320 — the series-based sibling of
+    get_event_list_from_triggers)."""
+    events = []
+    for cstart, cend in cluster_boundaries:
+        s = np.searchsorted(sample_times, cstart, side="left")
+        e = np.searchsorted(sample_times, cend, side="right")
+        if s >= e:
+            continue
+        k = s + int(np.argmax(values[s:e]))
+        events.append((float(sample_times[k]), float(values[k])))
+    return events
+
+
+def get_closest_injection_times(
+    injection_times: np.ndarray, times, return_indices: bool = False, assume_sorted: bool = False
+):
+    """Closest injection time for each event time (bnslib.py:517-630 surface)."""
+    injtimes = injection_times if assume_sorted else np.sort(injection_times)
+    times = np.asarray(times)
+    idx = np.searchsorted(injtimes, times, side="right")
+    left = np.clip(idx - 1, 0, len(injtimes) - 1)
+    right = np.clip(idx, 0, len(injtimes) - 1)
+    pick = np.where(np.abs(injtimes[left] - times) <= np.abs(injtimes[right] - times), left, right)
+    if return_indices:
+        return injtimes[pick], pick
+    return injtimes[pick]
+
+
 def events_above_threshold(event_list, thresh: float):
     return [ev for ev in event_list if ev[1] > thresh]
 

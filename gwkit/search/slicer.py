@@ -86,31 +86,62 @@ class DeviceSlicer:
     Yields (windows (B, D, slice_length) device array, times (B,) numpy,
     valid (B,) numpy bool) — the final batch is wrap-padded to keep shapes
     static; `valid` masks the padding.
+
+    Month-scale segments: raw strain longer than ``max_block`` samples is
+    whitened and windowed in fixed-size blocks (one compiled shape, bounded
+    HBM; hour-long FFTs also crash this TPU compiler). Block starts are
+    chosen so the global window stride is EXACTLY preserved: whitened-global
+    sample g corresponds to raw sample g + mfl/2, so a block at raw start
+    r_b serves windows g in [r_b, r_b + Wb - L] at local offset g - r_b.
+    The only semantic difference from unsplit whitening is that the Welch
+    PSD is estimated per 256 s block instead of per segment (the estimate is
+    windowed either way).
     """
 
-    def __init__(self, segment: Segment, cfg: SlicerConfig = SlicerConfig(), white: bool = False):
+    def __init__(
+        self,
+        segment: Segment,
+        cfg: SlicerConfig = SlicerConfig(),
+        white: bool = False,
+        max_block: int = 1 << 19,
+    ):
         self.cfg = cfg
         self.key = segment.key
         self.delta_t = segment.delta_t
         self.index_step = int(cfg.step_size / segment.delta_t)
         self.time_step = segment.delta_t * self.index_step
-        strain = jnp.asarray(segment.strain, jnp.float32)
-        if white or segment.white:
-            self.dss = strain
-            self.start_time = segment.start_time
+        self.white = bool(white or segment.white)
+        sample_rate = 1.0 / segment.delta_t
+        mfl = 0 if self.white else int(cfg.max_filter_duration * sample_rate)
+        self.half = mfl // 2
+        self.start_time = segment.start_time + self.half * segment.delta_t
+
+        n_raw = segment.strain.shape[1]
+        self.n_white_total = n_raw - 2 * self.half
+        self.n_windows = max(0, 1 + (self.n_white_total - cfg.slice_length) // self.index_step)
+
+        self._blocked = n_raw > max_block
+        if not self._blocked:
+            self.dss = self._whiten(jnp.asarray(segment.strain, jnp.float32))
+            self._raw = None
         else:
-            self.dss = whiten_estimate(
-                strain,
-                delta_t=segment.delta_t,
-                segment_duration=cfg.segment_duration,
-                max_filter_duration=cfg.max_filter_duration,
-                low_frequency_cutoff=cfg.low_frequency_cutoff,
-            )
-            # whitening discards max_filter_len//2 per side (0.125 s at 2048 Hz)
-            self.start_time = segment.start_time + 0.125
-        n = self.dss.shape[1]
-        self.n_windows = max(0, 1 + (n - cfg.slice_length) // self.index_step)
-        logging.debug("DeviceSlicer %s: %d windows", self.key, self.n_windows)
+            self.dss = None
+            self._raw = np.asarray(segment.strain, np.float32)
+            self.block_raw = max_block
+            wb = self.block_raw - 2 * self.half  # whitened samples per block
+            self.wins_per_block = (wb - cfg.slice_length) // self.index_step + 1
+        logging.debug("DeviceSlicer %s: %d windows (blocked=%s)", self.key, self.n_windows, self._blocked)
+
+    def _whiten(self, strain: jnp.ndarray) -> jnp.ndarray:
+        if self.white:
+            return strain
+        return whiten_estimate(
+            strain,
+            delta_t=self.delta_t,
+            segment_duration=self.cfg.segment_duration,
+            max_filter_duration=self.cfg.max_filter_duration,
+            low_frequency_cutoff=self.cfg.low_frequency_cutoff,
+        )
 
     def __len__(self) -> int:
         return self.n_windows
@@ -118,20 +149,38 @@ class DeviceSlicer:
     def window_times(self) -> np.ndarray:
         return self.start_time + np.arange(self.n_windows) * self.time_step + self.cfg.peak_offset
 
-    def batches(self) -> Iterator[Tuple[jnp.ndarray, np.ndarray, np.ndarray]]:
+    def _batched(self, widxs: np.ndarray, local_starts: np.ndarray, dss, times):
         b = self.cfg.batch_size
-        times = self.window_times()
-        for s in range(0, self.n_windows, b):
-            idx = np.arange(s, min(s + b, self.n_windows))
+        for s in range(0, len(widxs), b):
+            idx = np.arange(s, min(s + b, len(widxs)))
             valid = np.ones(len(idx), bool)
             if len(idx) < b:
                 pad = b - len(idx)
                 idx = np.pad(idx, (0, pad), mode="wrap")
                 valid = np.pad(valid, (0, pad))
-            windows = _gather_windows(
-                self.dss, jnp.asarray(idx * self.index_step), self.cfg.slice_length
-            )
-            yield windows, times[idx], valid
+            windows = _gather_windows(dss, jnp.asarray(local_starts[idx]), self.cfg.slice_length)
+            yield windows, times[widxs[idx]], valid
+
+    def batches(self) -> Iterator[Tuple[jnp.ndarray, np.ndarray, np.ndarray]]:
+        times = self.window_times()
+        if not self._blocked:
+            widxs = np.arange(self.n_windows)
+            yield from self._batched(widxs, widxs * self.index_step, self.dss, times)
+            return
+        # blocked path: fixed-size raw blocks at window-aligned starts
+        n_raw = self._raw.shape[1]
+        done = 0  # windows emitted so far
+        while done < self.n_windows:
+            g0 = done * self.index_step  # whitened-global start of first window
+            r_b = min(g0, n_raw - self.block_raw)  # tail block slides back
+            block = jnp.asarray(self._raw[:, r_b : r_b + self.block_raw])
+            dss = self._whiten(block)
+            n_here = min(self.wins_per_block, self.n_windows - done)
+            # local whitened offset of window (done + i) is g - r_b
+            widxs = np.arange(done, done + n_here)
+            local = widxs * self.index_step - r_b
+            yield from self._batched(widxs, local, dss, times)
+            done += n_here
 
 
 from functools import partial

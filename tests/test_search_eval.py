@@ -76,6 +76,43 @@ def test_device_slicer_geometry(rng):
     np.testing.assert_allclose(np.asarray(w[1]), strain[:, 204 : 204 + 2048], rtol=1e-6)
 
 
+def test_device_slicer_blocked_matches_unblocked_white(rng):
+    """Blocked windowing (long-segment path) must produce exactly the same
+    windows/times as the unsplit path when no whitening is involved."""
+    fs = 256
+    strain = rng.normal(size=(2, fs * 64)).astype(np.float32)
+    seg = Segment(key="s", strain=strain, start_time=10.0, delta_t=1.0 / fs)
+    cfg = SlicerConfig(step_size=0.25, slice_length=512, batch_size=16)
+    ref = DeviceSlicer(seg, cfg, white=True, max_block=1 << 30)
+    blk = DeviceSlicer(seg, cfg, white=True, max_block=2048)
+    assert blk._blocked and not ref._blocked
+    assert len(blk) == len(ref)
+    ref_out = [(np.asarray(w)[v], t[v]) for w, t, v in ref.batches()]
+    blk_out = [(np.asarray(w)[v], t[v]) for w, t, v in blk.batches()]
+    rw = np.concatenate([w for w, _ in ref_out])
+    bw = np.concatenate([w for w, _ in blk_out])
+    rt = np.concatenate([t for _, t in ref_out])
+    bt = np.concatenate([t for _, t in blk_out])
+    np.testing.assert_array_equal(bw, rw)
+    np.testing.assert_array_equal(bt, rt)
+
+
+def test_device_slicer_blocked_whitened_runs(rng):
+    fs = 256
+    strain = (rng.normal(size=(2, fs * 120)) * 1e-21).astype(np.float32)
+    seg = Segment(key="s", strain=strain, start_time=0.0, delta_t=1.0 / fs)
+    cfg = SlicerConfig(step_size=0.5, slice_length=256, batch_size=32,
+                       segment_duration=2.0, max_filter_duration=1.0,
+                       low_frequency_cutoff=10.0)
+    sl = DeviceSlicer(seg, cfg, white=False, max_block=fs * 32)
+    assert sl._blocked
+    total = 0
+    for w, t, v in sl.batches():
+        assert np.isfinite(np.asarray(w)).all()
+        total += v.sum()
+    assert total == len(sl)
+
+
 def test_device_slicer_whitening_crop(rng):
     fs = 2048
     strain = (rng.normal(size=(2, fs * 8)) * 1e-21).astype(np.float32)
@@ -84,6 +121,34 @@ def test_device_slicer_whitening_crop(rng):
     assert sl.start_time == pytest.approx(0.125)
     assert np.asarray(sl.dss).shape[1] == fs * 8 - 512
     assert np.isfinite(np.asarray(sl.dss)).all()
+
+
+def test_get_event_list_series_and_closest_injections():
+    from gwkit.search.cluster import get_closest_injection_times, get_event_list
+
+    t = np.arange(0, 10, 0.1)
+    v = np.zeros_like(t)
+    v[12] = 0.9
+    v[50] = 0.7
+    events = get_event_list(v, t, [[1.0, 1.5], [4.8, 5.2]])
+    assert events[0] == (pytest.approx(1.2), pytest.approx(0.9))
+    assert events[1] == (pytest.approx(5.0), pytest.approx(0.7))
+
+    inj = np.array([10.0, 20.0, 30.0])
+    times, idxs = get_closest_injection_times(inj, [11.0, 29.0], return_indices=True)
+    np.testing.assert_array_equal(times, [10.0, 30.0])
+    np.testing.assert_array_equal(idxs, [0, 2])
+
+
+def test_distributed_single_process_helpers():
+    from gwkit.parallel.distributed import gather_trigger_lists, initialize, shard_segments_across_hosts
+
+    initialize()  # no-op single process
+    segs = list(range(7))
+    assert shard_segments_across_hosts(segs, 0, 2) == [0, 2, 4, 6]
+    assert shard_segments_across_hosts(segs, 1, 2) == [1, 3, 5]
+    trig = {"a": [[1.0, 2.0]]}
+    assert gather_trigger_lists(trig) == trig
 
 
 def test_find_closest_index():
