@@ -33,8 +33,8 @@ def main():
     from gwkit.search.slicer import Segment, SlicerConfig
     from gwkit.train.tasks import build_mlgwsc
 
-    seconds = float(os.environ.get("BENCH_SECONDS", "60"))
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "120"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     platform = jax.devices()[0].platform
     on_tpu = platform != "cpu"
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -90,4 +90,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # e.g. HBM pressure at a large batch on a busy chip
+        sys.stderr.write(f"bench retry at reduced batch after: {exc}\n")
+        os.environ["BENCH_BATCH"] = "64"
+        os.environ["BENCH_SECONDS"] = "30"
+        main()

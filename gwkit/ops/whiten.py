@@ -53,22 +53,41 @@ def inverse_spectrum_truncation(
     return _ist_core(core, max_filter_len, low_frequency_cutoff, delta_f, trunc_method) * c
 
 
-def _normalize_psd(psd) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _normalize_psd(psd) -> Tuple[jnp.ndarray, "jnp.ndarray | float"]:
     """Scale the PSD to O(1): returns (psd/c, c) with c = mean of positive entries.
 
     Raw f64 numpy PSDs (O(1e-42)) are normalized host-side in f64 *before*
     the f32 device conversion — converting first would flush them subnormal.
+    In that case ``c`` is returned as a PYTHON float (itself below the f32
+    normal range!); use :func:`_sqrt_scale` to bring it on device.
     """
     if isinstance(psd, np.ndarray):
         pos = psd > 0
         c_np = float(psd[pos].mean()) if pos.any() else 1.0
-        return jnp.asarray((psd / c_np).astype(np.float32)), jnp.float32(c_np)
+        return jnp.asarray((psd / c_np).astype(np.float32)), c_np
     pos = psd > 0
     c = jnp.sum(jnp.where(pos, psd, 0.0), axis=-1, keepdims=True) / jnp.maximum(
         jnp.sum(pos, axis=-1, keepdims=True), 1
     )
     c = jnp.maximum(c, 1e-38)
     return psd / c, c
+
+
+def _sqrt_scale(c) -> jnp.ndarray:
+    """sqrt of the PSD scale, computed in f64 when c is a host float (1e-42
+    is not f32-representable but its square root 1e-21 is)."""
+    if isinstance(c, float):
+        return jnp.float32(np.sqrt(c))
+    return jnp.sqrt(c)
+
+
+def _robust_rms(x: jnp.ndarray) -> jnp.ndarray:
+    """RMS over the last axis that survives f32 subnormal flushing for 1e-21
+    strain: peak-normalize before squaring."""
+    peak = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    peak = jnp.maximum(peak, 1e-30)
+    rms = peak * jnp.sqrt(jnp.mean((x / peak) ** 2, axis=-1, keepdims=True))
+    return jnp.maximum(rms, 1e-30)
 
 
 def _ist_core(
@@ -121,25 +140,29 @@ def whiten_estimate(
     # Whitening is invariant to an overall strain scale when the PSD is
     # estimated from the data; normalize to unit RMS so 1e-21 strain keeps
     # every f32 intermediate in range.
-    rms = jnp.sqrt(jnp.mean(strain.astype(jnp.float32) ** 2, axis=-1, keepdims=True))
-    rms = jnp.maximum(rms, 1e-30)
+    rms = _robust_rms(strain.astype(jnp.float32))
     x = strain.astype(jnp.float32) / rms
     if psd is None:
         est = welch_psd(x, delta_t, segment_duration)  # (..., seg_flen)
         unprocessed = est * rms[..., :1] ** 2  # physical-scale PSD for callers
         est = interpolate_psd(est, 1.0 / segment_duration, delta_f, flen)
         core, c = _normalize_psd(est)
+        inv_scale = 1.0 / jnp.sqrt(c)  # psd estimated from x: O(1) scale
     else:
         unprocessed = psd
-        if psd.shape[-1] != flen:
+        if isinstance(psd, jnp.ndarray) and psd.shape[-1] != flen:
             psd = interpolate_psd(psd, delta_f * (n // 2) / (psd.shape[-1] - 1), delta_f, flen)
+        elif isinstance(psd, np.ndarray) and psd.shape[-1] != flen:
+            grid_old = np.arange(psd.shape[-1]) * (1.0 / (2.0 * delta_t * (psd.shape[-1] - 1)))
+            psd = np.interp(np.arange(flen) * delta_f, grid_old, psd)
         core, c_phys = _normalize_psd(psd)
-        # fold physical scales together: strain/rms whitened by psd/c
-        c = c_phys / (rms ** 2)
+        # strain was divided by rms; the physical PSD scale enters as its
+        # (f32-representable) square root: 1/sqrt(c) = rms / sqrt(c_phys)
+        inv_scale = rms / _sqrt_scale(c_phys)
     max_filter_len = int(max_filter_duration * sample_rate)
     core = _ist_core(core, max_filter_len, low_frequency_cutoff, delta_f, "hann")
     strain_f = jnp.fft.rfft(x, axis=-1)
-    inv_amp = jnp.sqrt(1.0 / core) / jnp.sqrt(c)
+    inv_amp = jnp.sqrt(1.0 / core) * inv_scale
     white = jnp.fft.irfft(strain_f * inv_amp, n, axis=-1).astype(strain.dtype)
     if remove_corrupted:
         white = white[..., max_filter_len // 2 : n - max_filter_len // 2]
@@ -169,7 +192,7 @@ def whiten_psd(
     core = _ist_core(core, max_filter_len, low_freq_cutoff, delta_f, "hann")
     kmin = int(low_freq_cutoff / delta_f)
     strain_f = jnp.fft.rfft(strain.astype(jnp.float32), axis=-1)
-    inv_amp = jnp.sqrt(1.0 / core) / jnp.sqrt(c)
+    inv_amp = jnp.sqrt(1.0 / core) / _sqrt_scale(c)
     mask = (jnp.arange(n // 2 + 1) >= kmin) & (jnp.arange(n // 2 + 1) != n // 2)
     strain_f = jnp.where(mask, strain_f * inv_amp, 0.0)
     white = jnp.fft.irfft(strain_f, n, axis=-1).astype(strain.dtype)

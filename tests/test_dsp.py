@@ -116,6 +116,38 @@ def test_whiten_estimate_whitens(rng):
     assert 0.6 * np.sqrt(fs) < white.std() < 1.3 * np.sqrt(fs)
 
 
+def test_whiten_estimate_with_given_psd(rng):
+    """The given-PSD branch (inference.py:76-83): raw f64 strain-scale PSDs
+    must survive the f32 device conversion via host-side normalization."""
+    fs, n = 2048.0, 2048 * 8
+    flen = n // 2 + 1
+    psd = aligo_zdhp_psd(flen, fs / n, low_freq_cutoff=15.0)  # f64, O(1e-42)
+    x = (rng.normal(size=(2, n)) * 1e-21).astype(np.float32)
+    out = np.asarray(
+        whiten_estimate(jnp.asarray(x), delta_t=1.0 / fs, psd=psd, low_frequency_cutoff=20.0)
+    )
+    assert out.shape == (2, n - 512)
+    assert np.isfinite(out).all()
+    assert out.std() > 0
+
+
+def test_welch_mean_method(rng):
+    fs = 1024.0
+    x = rng.normal(scale=2.0, size=(1, int(fs) * 16)).astype(np.float32)
+    psd = np.asarray(welch_psd(jnp.asarray(x), 1.0 / fs, segment_duration=1.0, avg_method="mean"))[0]
+    expected = 2.0 * 4.0 / fs
+    assert abs(np.mean(psd[5:-5]) / expected - 1.0) < 0.1
+
+
+def test_noise_generator_stream():
+    from gwkit.data.noise import NoiseGenerator
+
+    gen = NoiseGenerator(sample_rate=256.0, seed=3)
+    out = gen.stream(total_duration=10.0, chunk_duration=4.0)
+    assert out.shape == (int(256 * 10),)
+    assert np.isfinite(out).all()
+
+
 def test_whiten_psd_known_flat(rng):
     """With a flat PSD, whiten_psd only applies the bandpass + 1/sqrt(amp) scale."""
     fs, n = 2048.0, 8192
