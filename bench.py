@@ -14,7 +14,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -27,7 +26,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gwkit.models.adapters import AdapterConfig
     from gwkit.models.whisper import config_for
     from gwkit.search.engine import score_segments
     from gwkit.search.slicer import Segment, SlicerConfig

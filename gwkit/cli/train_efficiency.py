@@ -5,8 +5,6 @@ from __future__ import annotations
 
 from argparse import ArgumentParser
 
-import numpy as np
-
 from gwkit.cli.common import add_adapter_args, add_common_args, build_adapter_config, load_encoder_params, setup
 
 

@@ -21,7 +21,7 @@ compiled program.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import h5py
 import jax

@@ -12,7 +12,7 @@ drops in through the same `preprocess_glitch_strain` entry point.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

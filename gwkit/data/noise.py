@@ -14,8 +14,6 @@ x = irfft(Z). Then E[PSD(x)] = S. (DC/Nyquist real.)
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

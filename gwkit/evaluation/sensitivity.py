@@ -16,7 +16,7 @@ Distance-power table (weights w ∝ d^p * mchirp^q):
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

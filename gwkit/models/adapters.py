@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from gwkit.models.whisper import WhisperConfig
-from gwkit.ops.dora import dora_row_norms
 
 PROJ_KEYS = ("q", "k", "v", "o")
 TARGET_PRESETS: Dict[str, Sequence[str]] = {

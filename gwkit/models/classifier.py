@@ -15,9 +15,6 @@ Functional equivalents of the reference's nn.Modules, with the front end
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
-
-import jax
 import jax.numpy as jnp
 
 from gwkit.models.heads import (

@@ -11,7 +11,7 @@ Reference architectures (SURVEY.md §2.3):
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

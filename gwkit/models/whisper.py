@@ -23,7 +23,6 @@ TPU-first details:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional
 
 import jax

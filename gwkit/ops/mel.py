@@ -25,7 +25,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from gwkit.ops.stft import hann_window, stft_power
+from gwkit.ops.stft import stft_power
 
 N_FFT = 400
 HOP_LENGTH = 160

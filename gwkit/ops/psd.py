@@ -18,14 +18,11 @@ PSD arrays are one-sided, length flen = N//2 + 1, units strain^2/Hz.
 """
 from __future__ import annotations
 
-import functools
 import os
 from typing import Dict, Tuple
 
 import jax.numpy as jnp
 import numpy as np
-
-from gwkit.ops.stft import hann_window
 
 
 def aligo_zdhp_psd(flen: int, delta_f: float, low_freq_cutoff: float = 9.0) -> np.ndarray:

@@ -35,7 +35,6 @@ import dataclasses
 import functools
 from typing import List, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -22,7 +22,6 @@ from typing import Dict, List, Optional, Tuple
 
 import h5py
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from gwkit.search.cluster import get_clusters

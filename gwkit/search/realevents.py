@@ -12,11 +12,10 @@ event (the reference feature-extracts per window on CPU).
 from __future__ import annotations
 
 import logging
-from typing import Dict, Optional
+from typing import Dict
 
 import h5py
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from gwkit.search.slicer import DeviceSlicer, Segment, SlicerConfig

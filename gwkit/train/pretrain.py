@@ -17,18 +17,16 @@ import logging
 import os
 import time
 from functools import partial
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from gwkit.models.classifier import ClassifierConfig, encode_embedding
 from gwkit.models.heads import init_mlp_head, mlp_head_apply
 from gwkit.models.qadapter import qadapter_apply
 from gwkit.train.checkpoints import save_pytree
-from gwkit.train.datasets_util import epoch_indices
 from gwkit.train.losses import info_nce
 from gwkit.data.datasets import sample_pretrain_pairs
 

@@ -20,7 +20,6 @@ import dataclasses
 from typing import Any, Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 from gwkit.models.adapters import AdapterConfig, export_peft_dir, init_adapters
 from gwkit.models.classifier import (
@@ -31,7 +30,6 @@ from gwkit.models.classifier import (
     one_channel_apply,
     two_channel_apply,
 )
-from gwkit.models.heads import HEAD_DROPOUT
 from gwkit.models.qadapter import QAdapterConfig, init_qadapter, qadapter_apply
 from gwkit.models.whisper import WhisperConfig, config_for, init_encoder_params
 from gwkit.ops.mel import whisper_log_mel

@@ -27,7 +27,6 @@ from functools import partial
 from typing import Any, Callable, Iterable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 

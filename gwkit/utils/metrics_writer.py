@@ -6,7 +6,7 @@ Replaces the reference's SummaryWriter usage (Signal_vs_Noise/src/train.py:
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 
 class MetricsWriter:
