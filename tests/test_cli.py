@@ -53,3 +53,11 @@ def test_generate_data_modes():
     assert a.mode == "challenge" and a.dataset == 1
     t = parse_args(["training", "-o", "t.hdf"])
     assert t.mode == "training"
+
+
+def test_real_events_cli_help(capsys):
+    from gwkit.cli.real_events import parse_args
+
+    with pytest.raises(SystemExit) as exc:
+        parse_args(["--help"])
+    assert exc.value.code == 0

@@ -53,3 +53,23 @@ def test_single_sample_shape(rng):
     audio = rng.normal(size=16000).astype(np.float32)
     out = whisper_log_mel(audio)
     assert out.shape == (80, 3000)
+
+
+@pytest.mark.parametrize("n_samples", [480000, 479900, 479700])
+def test_log_mel_near_chunk_boundary(hf_extractor, rng, n_samples):
+    """Lengths at/near pad_to exercise the full (reflect-padded) path."""
+    audio = rng.normal(size=(1, n_samples)).astype(np.float32)
+    ref = hf_extractor([audio[0]], sampling_rate=16000, return_tensors="np").input_features
+    ours = np.asarray(whisper_log_mel(audio))
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=2e-3)
+
+
+def test_log_mel_custom_short_context(rng):
+    """The n_frames/pad_to knob used by short-context tasks."""
+    audio = rng.normal(size=(2, 16000)).astype(np.float32)
+    out = np.asarray(whisper_log_mel(audio, pad_to=256 * 160, num_frames=256))
+    assert out.shape == (2, 80, 256)
+    full = np.asarray(whisper_log_mel(audio))
+    # real frames must agree up to the per-sample max renormalization
+    # (the max over 256 frames == max over 3000 since padding is silence)
+    np.testing.assert_allclose(out[:, :, :100], full[:, :, :100], rtol=1e-5, atol=1e-5)
