@@ -40,6 +40,7 @@ class QAdapterConfig:
     channels: Tuple[int, int, int] = (32, 64, 128)  # train.py geometry; (16,32,64) = inference.py
     qscan_norm: str = "median"
     median_stride: int = 1  # >1: strided median estimate (see ops.qtransform.qscan)
+    time_decimation: int = 1  # >1: exact spectral-fold decimation of tile energies
 
 
 @functools.lru_cache(maxsize=8)
@@ -109,7 +110,8 @@ def qadapter_apply(cfg: QAdapterConfig, params, strain: jnp.ndarray) -> jnp.ndar
     flat = strain.reshape(B * D, T)
     plan = make_qplan(cfg.kernel_length, float(cfg.sample_rate), cfg.q_range, cfg.spectrogram_shape)
     qspec = jax.lax.stop_gradient(
-        qscan(flat, plan, norm=cfg.qscan_norm, median_stride=cfg.median_stride)
+        qscan(flat, plan, norm=cfg.qscan_norm, median_stride=cfg.median_stride,
+              time_decimation=cfg.time_decimation)
     )
     x = qspec[..., None]  # (B*D, F, T, 1) NHWC
     x = jax.nn.relu(_conv2d(x, params["conv1"], ((1, 1), (1, 1))))

@@ -217,6 +217,7 @@ def qscan(
     spectrogram_shape: Tuple[int, int] = (128, 128),
     norm: str = "median",
     median_stride: int = 1,
+    time_decimation: int = 1,
 ) -> jnp.ndarray:
     """Q-scan of (B, N) strain -> (B, f_bins, t_bins) normalized energy.
 
@@ -230,6 +231,12 @@ def qscan(
     widens its sampling error (~sqrt(k)); the TPU sort underlying
     jnp.median is the single most expensive op of the scan, so the serving
     path uses stride 8 (see QAdapterConfig) while golden tests keep 1.
+
+    ``time_decimation`` d > 1 evaluates tile energies at every d-th time
+    sample EXACTLY via spectral folding (samples of a length-N iFFT at
+    stride d equal the length-N/d iFFT of the modulo-folded spectrum, scaled
+    by 1/d) — the iFFT, normalization, and interpolation all shrink by d.
+    n_common/d must still exceed the output t_bins; serving uses d=4.
     """
     if plan is None:
         plan = make_qplan(duration, sample_rate, q_range, spectrogram_shape)
@@ -238,8 +245,14 @@ def qscan(
     fseries = jnp.fft.rfft(strain.astype(jnp.float32), axis=-1)  # (B, F)
     # dense gather: every (row, spectrum-slot) reads at most one rfft bin
     spec = fseries[:, plan.gather_idx] * jnp.asarray(plan.gather_weight)
+    n_t = plan.n_common
+    if time_decimation > 1:
+        n_t = plan.n_common // time_decimation
+        spec = spec.reshape(*spec.shape[:-1], time_decimation, n_t).sum(axis=-2)
     series = jnp.fft.ifft(spec, axis=-1)
-    energy = series.real ** 2 + series.imag ** 2  # (B, rows, n_common)
+    energy = series.real ** 2 + series.imag ** 2  # (B, rows, n_t)
+    if time_decimation > 1:
+        energy = energy * (1.0 / time_decimation ** 2)  # fold rescale (norm-invariant)
 
     if norm == "median":
         sample = energy[..., ::median_stride] if median_stride > 1 else energy
@@ -251,12 +264,14 @@ def qscan(
     energy = energy / jnp.maximum(denom, 1e-30)
 
     # Per plane: interpolate to (f_bins, t_bins) and get peak value.
+    t_bins = plan.shape[1]
     specs, peaks = [], []
     offset = 0
     for p, nr in enumerate(plan.n_rows):
-        rows = energy[:, offset : offset + nr, :]  # (B, nr, n_common)
+        rows = energy[:, offset : offset + nr, :]  # (B, nr, n_t)
         offset += nr
-        t = rows @ jnp.asarray(plan.time_interp[p])  # (B, nr, t_bins)
+        ti = plan.time_interp[p] if time_decimation == 1 else _bilinear_matrix(n_t, t_bins).T.astype(np.float32)
+        t = rows @ jnp.asarray(ti)  # (B, nr, t_bins)
         s = jnp.einsum("fr,brt->bft", jnp.asarray(plan.freq_interp[p]), t)
         specs.append(s)
         peaks.append(jnp.max(rows, axis=(-2, -1)))

@@ -88,6 +88,42 @@ def test_qscan_localizes_burst(rng):
     assert abs(col / 128.0 - t0) < 0.1
 
 
+def test_qscan_time_decimation_exact(rng):
+    """Spectral-fold decimation is EXACT: unnormalized energies at stride d
+    equal the decimated run's energies (up to the 1/d^2 fold rescale)."""
+    plan = make_qplan(1.0, 2048.0, (4.0, 64.0), (64, 64))
+    x = jnp.asarray(rng.normal(size=(2, 2048)).astype(np.float32))
+    import jax.numpy as jnp2
+
+    fseries = jnp2.fft.rfft(x, axis=-1)
+    spec = fseries[:, plan.gather_idx] * jnp2.asarray(plan.gather_weight)
+    full = jnp2.fft.ifft(spec, axis=-1)
+    e_full = np.asarray(full.real ** 2 + full.imag ** 2)
+    d = 4
+    folded = spec.reshape(2, -1, d, plan.n_common // d).sum(axis=-2)
+    dec = jnp2.fft.ifft(folded, axis=-1)
+    e_dec = np.asarray(dec.real ** 2 + dec.imag ** 2) / d ** 2
+    np.testing.assert_allclose(e_dec, e_full[..., ::d], rtol=2e-4, atol=1e-8)
+
+
+def test_qscan_decimated_spectrogram_close(rng):
+    """End-to-end decimated q-scan stays close to the full computation (the
+    normalizer and interpolation taps shift slightly)."""
+    fs = 2048.0
+    t = np.arange(2048) / fs
+    burst = np.sin(2 * np.pi * 180 * t) * np.exp(-(((t - 0.5) / 0.05) ** 2))
+    x = jnp.asarray((burst + 0.1 * rng.normal(size=2048))[None].astype(np.float32))
+    full = np.asarray(qscan(x, spectrogram_shape=(64, 64)))
+    dec = np.asarray(qscan(x, spectrogram_shape=(64, 64), time_decimation=4))
+    assert dec.shape == full.shape
+    # peak location agrees
+    assert np.unravel_index(dec[0].argmax(), dec[0].shape)[1] == pytest.approx(
+        np.unravel_index(full[0].argmax(), full[0].shape)[1], abs=2
+    )
+    corr = np.corrcoef(dec[0].ravel(), full[0].ravel())[0, 1]
+    assert corr > 0.98, f"decimated spectrogram diverged: corr={corr}"
+
+
 def test_qscan_jits_and_is_deterministic(rng):
     x = jnp.asarray(rng.normal(size=(2, 2048)).astype(np.float32))
     plan = make_qplan(1.0, 2048.0, (4.0, 128.0), (64, 64))
