@@ -128,6 +128,23 @@ def test_injection_dataset_mixing(rng):
     assert np.allclose(np.asarray(snr)[:4], 3.0) and np.allclose(np.asarray(snr)[4:], 0.0)
 
 
+def test_injection_dataset_batches_deterministic(rng):
+    from gwkit.data.datasets import InjectionDataset
+
+    ds = InjectionDataset(
+        noises=rng.normal(size=(12, 1, 32)).astype(np.float32),
+        waveforms=rng.normal(size=(6, 1, 32)).astype(np.float32),
+    )
+    key = jax.random.PRNGKey(7)
+    run1 = [np.asarray(x) for x, _, _ in ds.batches(key, 4)]
+    run2 = [np.asarray(x) for x, _, _ in ds.batches(key, 4)]
+    for a, b in zip(run1, run2):
+        np.testing.assert_array_equal(a, b)
+    # different key -> different order
+    run3 = [np.asarray(x) for x, _, _ in ds.batches(jax.random.PRNGKey(8), 4)]
+    assert any(not np.array_equal(a, b) for a, b in zip(run1, run3))
+
+
 def test_injection_dataset_hdf5_round_trip(tmp_path, rng):
     import h5py
 
