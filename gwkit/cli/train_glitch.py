@@ -77,6 +77,12 @@ def main(argv=None):
         with open(os.path.join(args.output, "classification_report.txt"), "w") as f:
             f.write(classification_report(labels, preds, names))
         np.savetxt(os.path.join(args.output, "confusion_matrix.txt"), cm, fmt="%d")
+        try:
+            from gwkit.utils.plotting import plot_confusion_matrix
+
+            plot_confusion_matrix(cm, names, os.path.join(args.output, "confusion_matrix.png"))
+        except Exception:
+            pass
         return {"val_accuracy": stats["accuracy"], "val_macro_f1": stats["macro_f1"]}
 
     os.makedirs(args.output, exist_ok=True)

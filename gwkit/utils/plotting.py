@@ -100,6 +100,27 @@ def plot_efficiency_curves(snrs, faps, efficiencies: np.ndarray, out_png: str) -
     return out_png
 
 
+def plot_efficiency_vs_epoch(
+    epochs: Sequence[int], efficiencies: np.ndarray, snrs: Sequence[float],
+    fap: float, out_png: str,
+) -> str:
+    """Efficiency-vs-epoch grid at one FAP (plot_efficiencies*.py surface):
+    one curve per SNR across training epochs. ``efficiencies``: (n_epochs, n_snrs)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for j, snr in enumerate(snrs):
+        ax.plot(epochs, efficiencies[:, j], marker=".", label=f"SNR {snr:g}")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel(f"true-alarm probability @ FAP {fap:g}")
+    ax.set_ylim(0, 1.02)
+    ax.legend(ncol=2, fontsize=8)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+    return out_png
+
+
 def plot_sensitivity_vs_far(far: np.ndarray, sensitive_distance: np.ndarray, out_png: str) -> str:
     plt = _plt()
     fig, ax = plt.subplots(figsize=(7, 5))

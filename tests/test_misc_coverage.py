@@ -119,3 +119,13 @@ def test_real_tiny_size_conversion(rng):
         ref = enc(torch.from_numpy(mel)).last_hidden_state.numpy()
     ours = np.asarray(encoder_apply(cfg, params, jnp.asarray(mel)))
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-4)
+
+
+def test_plot_efficiency_vs_epoch(rng, tmp_path):
+    pytest.importorskip("matplotlib")
+    from gwkit.utils.plotting import plot_efficiency_vs_epoch
+
+    eff = rng.uniform(0, 1, size=(5, 3))
+    out = plot_efficiency_vs_epoch([1, 2, 3, 4, 5], eff, [7, 9, 11], 1e-3,
+                                   str(tmp_path / "eve.png"))
+    assert os.path.isfile(out)
