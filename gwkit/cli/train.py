@@ -79,7 +79,7 @@ def main(argv=None):
 
     trainer.fit(
         lambda k: train_ds.batches(k, args.batch_size),
-        lambda k: valid_ds.batches(k, max(32, args.batch_size), shuffle=False),
+        lambda k: valid_ds.batches(k, max(32, args.batch_size), shuffle=False, drop_remainder=False),
         outdir=args.output, resume=args.resume, force=args.force,
         eval_callback=eval_metrics,
     )

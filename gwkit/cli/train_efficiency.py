@@ -88,7 +88,7 @@ def main(argv=None):
     outdir = os.path.join(args.output, f"run_{args.i_run:04d}")
     trainer.fit(
         lambda k: train_ds.batches(k, args.batch_size),
-        lambda k: valid_ds.batches(k, args.batch_size, shuffle=False),
+        lambda k: valid_ds.batches(k, args.batch_size, shuffle=False, drop_remainder=False),
         outdir=outdir, force=args.force, scheduler=scheduler,
     )
 

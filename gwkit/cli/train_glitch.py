@@ -88,7 +88,7 @@ def main(argv=None):
     os.makedirs(args.output, exist_ok=True)
     trainer.fit(
         lambda k: train_ds.batches(k, args.batch_size),
-        lambda k: valid_ds.batches(k, args.batch_size, shuffle=False),
+        lambda k: valid_ds.batches(k, args.batch_size, shuffle=False, drop_remainder=False),
         outdir=args.output, force=args.force, eval_callback=eval_metrics,
     )
 
