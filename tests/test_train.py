@@ -145,6 +145,24 @@ def test_injection_dataset_batches_deterministic(rng):
     assert any(not np.array_equal(a, b) for a, b in zip(run1, run3))
 
 
+def test_small_validation_set_still_yields_a_batch(rng):
+    """drop_remainder=False must wrap-pad a sub-batch-size epoch to ONE batch.
+
+    Regression: training CLIs evaluate with batch_size >= 32; a validation set
+    smaller than that produced zero batches and crashed the eval callback.
+    """
+    from gwkit.data.datasets import InjectionDataset
+
+    ds = InjectionDataset(
+        noises=rng.normal(size=(6, 1, 32)).astype(np.float32),
+        waveforms=rng.normal(size=(3, 1, 32)).astype(np.float32),
+    )
+    key = jax.random.PRNGKey(0)
+    assert len(list(ds.batches(key, 32))) == 0  # drop_remainder default
+    got = list(ds.batches(key, 32, shuffle=False, drop_remainder=False))
+    assert len(got) == 1 and got[0][0].shape[0] == 32
+
+
 def test_injection_dataset_hdf5_round_trip(tmp_path, rng):
     import h5py
 
