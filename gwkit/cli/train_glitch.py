@@ -66,6 +66,8 @@ def main(argv=None):
         export_components=task.export_components,
     )
 
+    best_f1 = [-1.0]
+
     def eval_metrics(epoch, trainable, val_aux):
         logits = np.concatenate([a["logits"] for a in val_aux])
         labels = np.concatenate([a["labels"] for a in val_aux])
@@ -73,16 +75,20 @@ def main(argv=None):
         cm = confusion_matrix(labels, preds, args.num_classes)
         stats = f1_scores(cm)
         print(f"epoch {epoch:04d}: acc {stats['accuracy']:.4f} macroF1 {stats['macro_f1']:.4f}")
-        names = GLITCH_CLASSES[: args.num_classes]
-        with open(os.path.join(args.output, "classification_report.txt"), "w") as f:
-            f.write(classification_report(labels, preds, names))
-        np.savetxt(os.path.join(args.output, "confusion_matrix.txt"), cm, fmt="%d")
-        try:
-            from gwkit.utils.plotting import plot_confusion_matrix
+        if stats["macro_f1"] > best_f1[0]:
+            # Report/confusion artifacts track the best epoch, not the last
+            # (reference train.py evaluates the best checkpoint).
+            best_f1[0] = stats["macro_f1"]
+            names = GLITCH_CLASSES[: args.num_classes]
+            with open(os.path.join(args.output, "classification_report.txt"), "w") as f:
+                f.write(f"best epoch {epoch:04d}\n\n" + classification_report(labels, preds, names))
+            np.savetxt(os.path.join(args.output, "confusion_matrix.txt"), cm, fmt="%d")
+            try:
+                from gwkit.utils.plotting import plot_confusion_matrix
 
-            plot_confusion_matrix(cm, names, os.path.join(args.output, "confusion_matrix.png"))
-        except Exception:
-            pass
+                plot_confusion_matrix(cm, names, os.path.join(args.output, "confusion_matrix.png"))
+            except Exception:
+                pass
         return {"val_accuracy": stats["accuracy"], "val_macro_f1": stats["macro_f1"]}
 
     os.makedirs(args.output, exist_ok=True)

@@ -94,8 +94,10 @@ class Trainer:
             return trainable, opt_state, loss, aux
 
         @jax.jit
-        def eval_step(trainable, batch, key):
-            return loss_fn(trainable, frozen, batch, key)
+        def eval_step(trainable, batch):
+            # No RNG at eval: loss_fns treat key=None as inference mode
+            # (dropout off), matching the reference's model.eval() validation.
+            return loss_fn(trainable, frozen, batch, None)
 
         self._train_step = train_step
         self._eval_step = eval_step
@@ -110,7 +112,7 @@ class Trainer:
                     self.trainable, self.opt_state, batch, sub
                 )
             else:
-                loss, aux = self._eval_step(self.trainable, batch, sub)
+                loss, aux = self._eval_step(self.trainable, batch)
             total += float(loss)
             count += 1
             auxes.append(jax.tree.map(np.asarray, aux))

@@ -72,7 +72,7 @@ def main():
         key = jax.random.PRNGKey(1)
         scores, labels = [], []
         for batch in valid_ds.batches(key, 16, shuffle=False):
-            _, aux = trainer._eval_step(trainer.trainable, batch, key)
+            _, aux = trainer._eval_step(trainer.trainable, batch)
             scores.append(np.asarray(aux["scores"]))
             labels.append(np.asarray(aux["labels"]))
         auc = roc_auc(np.concatenate(labels), np.concatenate(scores))
