@@ -101,6 +101,10 @@ class InjectionDataset:
 def _mix_batch(noises, waveforms, indices, snr_lo, snr_hi, key):
     m = waveforms.shape[0]
     noise = jnp.take(noises, indices, axis=0)
+    if m == 0:  # noise-only dataset (e.g. efficiency FAP-threshold scoring)
+        b = indices.shape[0]
+        y = jnp.broadcast_to(jnp.asarray(NOISE_LABEL), (b, 2))
+        return noise, y, jnp.zeros((b,), jnp.float32)
     wave_idx = jnp.minimum(indices, m - 1)
     wave = jnp.take(waveforms, wave_idx, axis=0)
     is_wave = (indices < m)[:, None, None]

@@ -163,6 +163,20 @@ def test_small_validation_set_still_yields_a_batch(rng):
     assert len(got) == 1 and got[0][0].shape[0] == 32
 
 
+def test_noise_only_dataset_batches(rng):
+    """Zero-waveform datasets (efficiency FAP thresholds) must batch cleanly."""
+    from gwkit.data.datasets import InjectionDataset
+
+    ds = InjectionDataset(
+        noises=rng.normal(size=(8, 1, 32)).astype(np.float32),
+        waveforms=np.zeros((0, 1, 32), np.float32),
+    )
+    (x, y, snr), = list(ds.batches(jax.random.PRNGKey(0), 8, shuffle=False))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ds.noises), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(y), [[0, 1]] * 8)
+    assert np.all(np.asarray(snr) == 0.0)
+
+
 def test_injection_dataset_hdf5_round_trip(tmp_path, rng):
     import h5py
 
