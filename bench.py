@@ -31,7 +31,9 @@ def main():
     from gwkit.search.slicer import Segment, SlicerConfig
     from gwkit.train.tasks import build_mlgwsc
 
-    seconds = float(os.environ.get("BENCH_SECONDS", "120"))
+    # 600 s segments exercise the blocked-whitening path (>2^19 samples)
+    # that real month-scale searches use; throughput saturates near here.
+    seconds = float(os.environ.get("BENCH_SECONDS", "600"))
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     platform = jax.devices()[0].platform
     on_tpu = platform != "cpu"

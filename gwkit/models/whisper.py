@@ -160,7 +160,11 @@ def _attention(x, p, cfg: WhisperConfig, adapters=None):
     q = q.reshape(B, T, H, hd)
     k = k.reshape(B, T, H, hd)
     v = v.reshape(B, T, H, hd)
-    if cfg.use_flash_attention:
+    # The Pallas flash kernel wins at long contexts (1.7x at T=1500, where
+    # the T^2 score matrix stresses HBM) but its fold/unfold transposes and
+    # grid overhead lose to XLA's fused path at short ones (0.6x at T=256);
+    # T is static under jit, so select per compiled geometry.
+    if cfg.use_flash_attention and T >= 1024:
         from gwkit.ops.attention import flash_attention
 
         o = flash_attention(q, k, v)

@@ -135,12 +135,15 @@ class DeviceSlicer:
     def _whiten(self, strain: jnp.ndarray) -> jnp.ndarray:
         if self.white:
             return strain
-        return whiten_estimate(
+        # One fused program: whiten_estimate is ~50 ops, and eager per-op
+        # dispatch is expensive on remote-attached TPUs; jit caches per
+        # (shape, geometry) so every same-size block reuses the executable.
+        return _whiten_jit(
             strain,
-            delta_t=self.delta_t,
-            segment_duration=self.cfg.segment_duration,
-            max_filter_duration=self.cfg.max_filter_duration,
-            low_frequency_cutoff=self.cfg.low_frequency_cutoff,
+            self.delta_t,
+            self.cfg.segment_duration,
+            self.cfg.max_filter_duration,
+            self.cfg.low_frequency_cutoff,
         )
 
     def __len__(self) -> int:
@@ -184,6 +187,17 @@ class DeviceSlicer:
 
 
 from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _whiten_jit(strain, delta_t, segment_duration, max_filter_duration, low_frequency_cutoff):
+    return whiten_estimate(
+        strain,
+        delta_t=delta_t,
+        segment_duration=segment_duration,
+        max_filter_duration=max_filter_duration,
+        low_frequency_cutoff=low_frequency_cutoff,
+    )
 
 
 @partial(jax.jit, static_argnums=(2,))
