@@ -132,7 +132,11 @@ def read_contiguous_dataset(path: str, dataset, chunk_elems: int = 1 << 22) -> O
     if dataset.dtype == np.float64:
         on_disk_f64 = True
     elif dataset.dtype == np.float32:
-        on_disk_f64 = False
+        # No conversion to hide: h5py's direct read into the target buffer
+        # beats the loader's slot->buffer->output copies (measured on the
+        # single-core search host); the native path earns its keep on the
+        # f64-on-disk challenge files where it converts off-thread.
+        return None
     else:
         return None
     if not available():

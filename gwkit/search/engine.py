@@ -25,7 +25,7 @@ import jax
 import numpy as np
 
 from gwkit.search.cluster import get_clusters
-from gwkit.search.slicer import DeviceSlicer, Segment, SlicerConfig, read_segments
+from gwkit.search.slicer import DeviceSlicer, Segment, SlicerConfig, read_segments, stream_segments
 
 
 @dataclasses.dataclass
@@ -131,8 +131,16 @@ def get_triggers(
     low_frequency_cutoff: float = 20.0,
     batch_size: int = 256,
     verbose: bool = False,
+    stream: bool = False,
 ) -> Tuple[Dict[str, List[List[float]]], np.ndarray, SearchResult]:
-    """Full reference get_triggers flow on a gwkit Task (usually mlgwsc, USR)."""
+    """Full reference get_triggers flow on a gwkit Task (usually mlgwsc, USR).
+
+    ``stream=True`` overlaps the next segment's disk read with scoring via
+    a prefetch thread (identical outputs). Only worth it on multi-core
+    hosts with many segments: on a single-core host the reader thread
+    contends with the batch-dispatch loop and measures strictly slower
+    (80.8 s vs 49.7 s on the 2 h demo file), so eager reads are the default.
+    """
     trainable = trainable if trainable is not None else task.trainable
     frozen = task.frozen
 
@@ -141,7 +149,7 @@ def get_triggers(
         out = task.forward(trainable, frozen, windows)
         return out[:, 0]
 
-    segments = read_segments(inputfile)
+    segments = stream_segments(inputfile) if stream else read_segments(inputfile)
     cfg = SlicerConfig(
         step_size=step_size, low_frequency_cutoff=low_frequency_cutoff, batch_size=batch_size
     )

@@ -69,6 +69,57 @@ def read_segments(
     return segments
 
 
+def stream_segments(
+    path: str, detectors: Optional[List[str]] = None, prefetch: int = 1
+) -> Iterator[Segment]:
+    """Yield the file's Segments longest-first while a background thread
+    reads ahead.
+
+    The device needs no host CPU while it scores a segment, so the next
+    segment's disk read (the dominant host cost on slow/cold storage) hides
+    behind scoring. Same contents/order as :func:`read_segments`; only
+    metadata is touched up front.
+    """
+    import queue
+    import threading
+
+    with h5py.File(path, "r") as f:
+        dets = detectors or sorted(f.keys())
+        keys = sorted(f[dets[0]].keys(), key=lambda k: f[dets[0]][k].shape[0], reverse=True)
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+
+    def reader():
+        from gwkit.native.hostio import read_contiguous_dataset
+
+        try:
+            with h5py.File(path, "r") as f:
+                for key in keys:
+                    dss = [f[det][key] for det in dets]
+                    start = dss[0].attrs["start_time"]
+                    delta_t = float(dss[0].attrs["delta_t"])
+                    rows = []
+                    for ds in dss:
+                        assert ds.attrs["start_time"] == start
+                        native = read_contiguous_dataset(path, ds)
+                        rows.append(native if native is not None else ds[()].astype(np.float32))
+                    q.put(Segment(key=key, strain=np.stack(rows),
+                                  start_time=float(start), delta_t=delta_t))
+        except BaseException as e:  # surface reader failures at the consumer
+            q.put(e)
+        else:
+            q.put(None)
+
+    threading.Thread(target=reader, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 @dataclasses.dataclass
 class SlicerConfig:
     step_size: float = 0.1

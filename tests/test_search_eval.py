@@ -207,3 +207,25 @@ def test_volume_montecarlo_uniform_volume():
     vtot = 4.0 / 3.0 * np.pi * 60.0 ** 3
     assert vol == pytest.approx(vtot * 0.5)
     assert err > 0
+
+
+def test_stream_segments_matches_read_segments(tmp_path):
+    import h5py
+
+    from gwkit.search.slicer import read_segments, stream_segments
+
+    path = str(tmp_path / "segs.hdf")
+    rng = np.random.default_rng(0)
+    with h5py.File(path, "w") as f:
+        for det in ("H1", "L1"):
+            g = f.create_group(det)
+            for key, n in (("0", 4096), ("1", 8192)):
+                ds = g.create_dataset(key, data=rng.normal(size=n))
+                ds.attrs["start_time"] = 100.0 + float(key)
+                ds.attrs["delta_t"] = 1.0 / 2048.0
+    eager = read_segments(path)
+    lazy = list(stream_segments(path))
+    assert [s.key for s in lazy] == [s.key for s in eager]  # longest-first
+    for a, b in zip(eager, lazy):
+        assert a.start_time == b.start_time and a.delta_t == b.delta_t
+        np.testing.assert_array_equal(a.strain, b.strain)
