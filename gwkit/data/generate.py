@@ -79,6 +79,7 @@ def _project_injection_batch(
     scale: float,
     detectors: Sequence[str],
     tc_frac: float = 0.75,
+    approximant: str = "imrphenomd",
 ) -> np.ndarray:
     """(B, D, N) detector strains of injections sl, coalescence at the
     window's 3/4 point (normalized units via `scale`)."""
@@ -86,7 +87,7 @@ def _project_injection_batch(
     tc_in_window = tc_frac * wave_duration
     hp, hc = td_polarizations(
         {**sub, "tc": np.full(len(sub["mass1"]), tc_in_window)},
-        wave_duration, sample_rate, f_lower,
+        wave_duration, sample_rate, f_lower, approximant=approximant,
     )
     hp = np.asarray(hp) * scale
     hc = np.asarray(hc) * scale
@@ -158,7 +159,8 @@ def generate_challenge_data(
             for bstart in range(0, len(idxs), inject_batch):
                 blk = idxs[bstart : bstart + inject_batch]
                 strains = _project_injection_batch(
-                    params, blk, wave_duration, sample_rate, f_lower, 1.0, detectors
+                    params, blk, wave_duration, sample_rate, f_lower, 1.0, detectors,
+                    approximant=distribution.approximant,
                 )
                 for bi, gi in enumerate(blk):
                     # coalescence sits 3/4 into the waveform window
@@ -230,6 +232,7 @@ def generate_training_set(
                 strains = _project_injection_batch(
                     params, sl, wave_duration, sample_rate, f_lower,
                     1.0 / np.sqrt(c_wave), detectors, tc_frac=tc_frac,
+                    approximant=distribution.approximant,
                 )
                 batch = jnp.asarray(strains)
                 snrs = optimal_snr(batch, psd_wave_n, 1.0 / sample_rate, f_lower)  # (B, D)

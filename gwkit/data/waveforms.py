@@ -4,11 +4,14 @@ Replaces the reference's lalsuite-backed `pycbc.waveform.get_td_waveform`
 path (bnslib.py WaveformGetter, bnslib.py:1234-1586; MLGWSC-1/gen.py:116-229
 uses IMRPhenomD/XPHM) with an on-device, batched, jit-compatible generator:
 
+* ``imrphenomd`` (default) — full inspiral-merger-ringdown with aligned
+  spins (gwkit.data.imrphenomd, Khan et al. 2016). For the 10-50 Msun
+  MLGWSC-1 population the merger/ringdown carries most of the SNR; this is
+  the approximant the reference actually uses.
 * ``taylorf2`` — restricted stationary-phase inspiral: Newtonian f^{-7/6}
   amplitude with the full 3.5PN TaylorF2 phase, truncated at f_ISCO.
-  Exact for the inspiral band; for the 10-50 Msun MLGWSC-1 population this
-  is the detection-relevant part of the signal (merger/ringdown modelling
-  is a planned upgrade — the architecture is approximant-agnostic).
+  Retained for BNS-band work and as an internal cross-check (both
+  approximants share the early-inspiral phase by construction).
 
 The FD waveform is synthesized on a static rFFT grid and inverse-FFT'd so a
 whole parameter table becomes one batched irfft — the reference fans out
@@ -110,16 +113,71 @@ def taylorf2_hplus_hcross(
     return hplus, hcross
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _synthesize_batch(n: int, delta_t: float, m1, m2, dist, incl, tc, phic, f_lower):
+def phenomd_hplus_hcross(
+    freqs: jnp.ndarray,
+    m1,
+    m2,
+    chi1,
+    chi2,
+    distance_mpc,
+    inclination,
+    tc=0.0,
+    phic=0.0,
+    f_lower: float = 20.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """IMRPhenomD FD polarizations on the given frequency grid.
+
+    Same conventions as :func:`taylorf2_hplus_hcross` (h = A e^{-i Psi},
+    dominant-mode inclination weighting); merger peak lands at ``tc``.
+    Matches the reference's lalsuite IMRPhenomD path
+    (MLGWSC-1/gen.py:117-131) in capability; see gwkit.data.imrphenomd for
+    the model and its documented deviations.
+    """
+    from gwkit.data import imrphenomd
+
+    mtot_s = (m1 + m2) * MTSUN_SI
+    eta = sym_mass_ratio(m1, m2)
+    mc_s = chirp_mass(m1, m2) * MTSUN_SI
+    d_s = distance_mpc * MPC_SI / C_SI
+    mf = mtot_s * jnp.maximum(freqs, 1e-3)
+    ampc, phase = imrphenomd.phenomd_amp_phase(mf, eta, chi1, chi2)
+    carrier = (
+        jnp.sqrt(5.0 / 24.0)
+        * jnp.pi ** (-2.0 / 3.0)
+        * mc_s ** (5.0 / 6.0)
+        / d_s
+        * jnp.maximum(freqs, 1e-3) ** (-7.0 / 6.0)
+    )
+    f_cut = imrphenomd.F_CUT / mtot_s
+    band = (freqs >= f_lower) & (freqs <= f_cut)
+    psi = 2.0 * jnp.pi * freqs * tc - phic - jnp.pi / 4.0 + phase
+    h = jnp.where(band, carrier * ampc, 0.0) * jnp.exp(-1j * psi)
+    cosi = jnp.cos(inclination)
+    hplus = h * (1.0 + cosi ** 2) / 2.0
+    hcross = 1j * h * cosi
+    return hplus, hcross
+
+
+@partial(jax.jit, static_argnums=(0, 1, 9))
+def _synthesize_batch(n: int, delta_t: float, m1, m2, dist, incl, tc, phic, f_lower,
+                      approximant: str = "imrphenomd", chi1=None, chi2=None):
     delta_f = 1.0 / (n * delta_t)
     freqs = jnp.arange(n // 2 + 1) * delta_f
 
-    def one(m1i, m2i, di, ii, tci, pci):
-        hp, hc = taylorf2_hplus_hcross(freqs, m1i, m2i, di, ii, tc=tci, phic=pci, f_lower=f_lower)
+    def one(m1i, m2i, di, ii, tci, pci, c1i, c2i):
+        if approximant == "taylorf2":
+            hp, hc = taylorf2_hplus_hcross(
+                freqs, m1i, m2i, di, ii, tc=tci, phic=pci, f_lower=f_lower)
+        else:
+            hp, hc = phenomd_hplus_hcross(
+                freqs, m1i, m2i, c1i, c2i, di, ii, tc=tci, phic=pci, f_lower=f_lower)
         return jnp.fft.irfft(hp, n) / delta_t, jnp.fft.irfft(hc, n) / delta_t
 
-    return jax.vmap(one)(m1, m2, dist, incl, tc, phic)
+    if chi1 is None:
+        chi1 = jnp.zeros_like(m1)
+    if chi2 is None:
+        chi2 = jnp.zeros_like(m1)
+    return jax.vmap(one)(m1, m2, dist, incl, tc, phic, chi1, chi2)
 
 
 def td_polarizations(
@@ -127,11 +185,13 @@ def td_polarizations(
     duration: float,
     sample_rate: float,
     f_lower: float = 20.0,
+    approximant: str = "imrphenomd",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched time-domain h+, hx of shape (B, N).
 
     ``params``: arrays 'mass1','mass2','distance' (Mpc), 'inclination',
-    'tc' (s, within [0, duration)), 'coa_phase'.
+    'tc' (s, within [0, duration)), 'coa_phase', and for spinning
+    approximants 'spin1z','spin2z' (aligned components; default 0).
     """
     n = int(round(duration * sample_rate))
     b = len(params["mass1"])
@@ -142,7 +202,8 @@ def td_polarizations(
         n, 1.0 / sample_rate,
         as32("mass1"), as32("mass2"), as32("distance"),
         as32("inclination", 0.0), as32("tc", duration / 2), as32("coa_phase", 0.0),
-        f_lower,
+        f_lower, approximant,
+        as32("spin1z", 0.0), as32("spin2z", 0.0),
     )
 
 
@@ -150,12 +211,23 @@ def td_polarizations(
 class SourceDistribution:
     """MLGWSC-1-style injection parameter sampler (ds ini semantics:
     component masses U(10,50), isotropic sky/orientation, uniform chirp
-    distance in [130, 350] Mpc — generate_data.py / ds ini files)."""
+    distance in [130, 350] Mpc — generate_data.py / ds ini files).
+
+    Spins (matching the challenge populations, gen.py:117-131):
+    ``spin_max`` bounds the spin magnitude (0 = non-spinning, dataset 1).
+    ``isotropic_spins=False`` samples aligned components U(-spin_max,
+    spin_max) (dataset 2 semantics); ``True`` samples isotropic spin
+    vectors with magnitude U(0, spin_max) and keeps the aligned (z)
+    projection — the datasets 3/4 population as seen by an aligned-spin
+    approximant (precession/higher modes are out of model scope)."""
 
     mass_min: float = 10.0
     mass_max: float = 50.0
     chirp_distance_range: Tuple[float, float] = (130.0, 350.0)
     f_lower: float = 20.0
+    spin_max: float = 0.0
+    isotropic_spins: bool = False
+    approximant: str = "imrphenomd"
 
     def sample(self, rng: np.random.Generator, n: int) -> Dict[str, np.ndarray]:
         m1 = rng.uniform(self.mass_min, self.mass_max, n)
@@ -165,9 +237,22 @@ class SourceDistribution:
         mc = chirp_mass(m1, m2)
         mc_bns = chirp_mass(1.4, 1.4)
         distance = dc * (mc / mc_bns) ** (5.0 / 6.0)
+        if self.spin_max <= 0.0:
+            s1z = np.zeros(n)
+            s2z = np.zeros(n)
+        elif self.isotropic_spins:
+            # isotropic direction: z-projection = magnitude * cos(theta),
+            # cos(theta) ~ U(-1, 1)
+            s1z = rng.uniform(0, self.spin_max, n) * rng.uniform(-1, 1, n)
+            s2z = rng.uniform(0, self.spin_max, n) * rng.uniform(-1, 1, n)
+        else:
+            s1z = rng.uniform(-self.spin_max, self.spin_max, n)
+            s2z = rng.uniform(-self.spin_max, self.spin_max, n)
         return {
             "mass1": m1.astype(np.float32),
             "mass2": m2.astype(np.float32),
+            "spin1z": s1z.astype(np.float32),
+            "spin2z": s2z.astype(np.float32),
             "chirp_distance": dc.astype(np.float32),
             "distance": distance.astype(np.float32),
             "ra": rng.uniform(0, 2 * np.pi, n).astype(np.float32),
