@@ -14,14 +14,20 @@ def parse_args(argv=None):
     sub = p.add_subparsers(dest="mode", required=True)
 
     ch = sub.add_parser("challenge", help="Foreground/background/injection files (generate_data.py).")
-    ch.add_argument("-d", "--dataset", type=int, default=1, choices=[1, 2, 3],
-                    help="Challenge dataset flavor. 1: analytic design-PSD Gaussian "
-                         "noise (self-contained). 2/3: per-detector measured PSDs — "
-                         "supply --psd-file (dataset 4's real-noise download needs "
-                         "network access and is out of scope in this build; its "
-                         "time-slide machinery lives in gwkit.data.segments).")
+    ch.add_argument("-d", "--dataset", type=int, default=1, choices=[1, 2, 3, 4],
+                    help="Challenge dataset. 1: design-PSD Gaussian noise, "
+                         "non-spinning sources. 2: per-detector PSD variant fixed "
+                         "for the run, aligned spins U(-0.99,0.99). 3: fresh PSD "
+                         "variant per segment, isotropic spins. 4: real noise from "
+                         "--real-noise-file with inter-detector time slides, "
+                         "isotropic spins. (--psd-file overrides PSD selection "
+                         "with measured files for any of 1-3.)")
     ch.add_argument("--psd-file", type=str, action="append", default=None,
                     metavar="DET=PATH", help="Per-detector ASD/PSD file, e.g. H1=/path/psd.txt (repeatable).")
+    ch.add_argument("--real-noise-file", type=str, default=None,
+                    help="Dataset 4: local noise file in the challenge layout "
+                         "({det}/{start} datasets; see gwkit.data.generate."
+                         "write_real_noise_file).")
     ch.add_argument("-f", "--output-foreground-file", type=str, required=True)
     ch.add_argument("-b", "--output-background-file", type=str, required=True)
     ch.add_argument("-i", "--output-injection-file", type=str, required=True)
@@ -52,12 +58,13 @@ def main(argv=None):
         psd_names = None
         if args.psd_file:
             psd_names = dict(spec.split("=", 1) for spec in args.psd_file)
-        elif args.dataset in (2, 3):
-            raise SystemExit("datasets 2/3 need --psd-file DET=PATH per detector")
+        if args.dataset == 4 and not args.real_noise_file:
+            raise SystemExit("dataset 4 needs --real-noise-file")
         generate_challenge_data(
             args.output_foreground_file, args.output_background_file, args.output_injection_file,
             duration=args.duration, sample_rate=args.sample_rate, seed=args.seed,
-            psd_names=psd_names,
+            psd_names=psd_names, dataset=args.dataset,
+            real_noise_path=args.real_noise_file,
         )
         print("challenge data written")
     elif args.mode == "training":

@@ -3,12 +3,19 @@
 Covers the reference's Layer-1 generators (SURVEY.md §2.8) without the
 pycbc/lalsuite dependency:
 
-* :func:`generate_challenge_data` — MLGWSC-1/generate_data.py: segmented
-  colored noise per detector over an O3a-style segment list (datasets 1-3;
-  dataset 4's real-noise download is out of scope in a zero-egress build),
-  an injection table on a 24 s grid (chirp-distance-uniform sources), the
-  injections projected and added -> foreground/background/injection HDF5
-  files in the exact challenge layout.
+* :func:`generate_challenge_data` — MLGWSC-1/generate_data.py: all four
+  challenge datasets. 1-3: segmented colored noise per detector over an
+  O3a-style segment list with per-dataset PSD selection
+  (generate_data.py:355-372 — ds1 fixed design PSD, ds2 one random PSD
+  variant per detector per run, ds3 a fresh variant per segment); 4: real
+  noise read from a *local* file in the challenge layout with
+  inter-detector time slides (generate_data.py:218-329; the AEI download
+  itself is impossible zero-egress — `write_real_noise_file` documents and
+  produces the expected layout). Injection table on a 24 s grid with the
+  per-dataset spin populations (ds1 non-spinning, ds2 aligned
+  U(-0.99,0.99), ds3/4 isotropic magnitude U(0,0.99), IMRPhenomD),
+  projected and added -> foreground/background/injection HDF5 files in the
+  exact challenge layout.
 * :func:`generate_training_set` — MLGWSC-1/gen.py:116-229: 1 s two-detector
   windows of whitened noise and unit-network-SNR whitened waveforms, saved
   as 'training'/'validation' groups with 'waveforms'/'noises' datasets
@@ -30,20 +37,78 @@ import numpy as np
 
 from gwkit.data.detector import antenna_pattern, time_delay_from_earth_center
 from gwkit.data.noise import colored_noise
-from gwkit.data.segments import default_o3a_segments, restrict_segments
+from gwkit.data.segments import (
+    DetectorData,
+    OverlapSegment,
+    default_o3a_segments,
+    restrict_segments,
+)
 from gwkit.data.waveforms import SourceDistribution, td_polarizations
-from gwkit.ops.psd import get_psd
+from gwkit.ops.psd import get_psd, psd_variant
 from gwkit.ops.snr import network_snr, optimal_snr
 from gwkit.ops.whiten import whiten_psd
 
 DETECTORS = ("H1", "L1")
 
 
-def _normalized_psd(psd_name: str, n: int, sample_rate: float, f_low: float):
-    psd = get_psd(psd_name, n // 2 + 1, sample_rate / n, f_low)
+def _normalize_psd_array(psd: np.ndarray):
     pos = psd > 0
     c = float(psd[pos].mean()) if pos.any() else 1.0
     return jnp.asarray((psd / c).astype(np.float32)), c
+
+
+def _normalized_psd(psd_name: str, n: int, sample_rate: float, f_low: float):
+    return _normalize_psd_array(get_psd(psd_name, n // 2 + 1, sample_rate / n, f_low))
+
+
+def challenge_distribution(dataset: int) -> SourceDistribution:
+    """The four challenge injection populations (ds{1-4}.ini semantics:
+    masses U(10,50), chirp-distance-uniform; ds1 non-spinning, ds2 aligned
+    spins U(-0.99, 0.99), ds3/4 isotropic spin vectors with magnitude
+    U(0, 0.99) — seen through the aligned-spin projection here since
+    IMRPhenomD is the approximant; cf. MLGWSC-1/generate_data.py:768-771)."""
+    if dataset == 1:
+        return SourceDistribution()
+    if dataset == 2:
+        return SourceDistribution(spin_max=0.99)
+    if dataset in (3, 4):
+        return SourceDistribution(spin_max=0.99, isotropic_spins=True)
+    raise ValueError(f"unknown challenge dataset {dataset}")
+
+
+class ChallengePSDSelector:
+    """Per-dataset PSD choice (generate_data.py:355-372 semantics).
+
+    ds1: the design PSD for every detector and segment. ds2: one variant
+    per detector, fixed for the whole run. ds3: a fresh variant per
+    detector per segment. Variants come from :func:`gwkit.ops.psd.
+    psd_variant` (the challenge's 20 per-detector O3a PSD files are
+    cluster-local paths that do not ship); real PSD files can be passed
+    through ``psd_names`` instead.
+    """
+
+    N_VARIANTS = 20
+
+    def __init__(self, dataset: int, seed: int, detectors: Sequence[str]):
+        if dataset not in (1, 2, 3):
+            raise ValueError("PSD selection is defined for datasets 1-3")
+        self.dataset = dataset
+        self._rs = np.random.default_rng(seed)
+        self._fixed = {det: int(self._rs.integers(self.N_VARIANTS)) for det in detectors}
+
+    def key_for(self, det: str, segment_index: int) -> Tuple[str, int]:
+        if self.dataset == 1:
+            return ("aLIGOZeroDetHighPower", 0)
+        if self.dataset == 2:
+            return (det, self._fixed[det])
+        return (det, int(self._rs.integers(self.N_VARIANTS)))
+
+    def psd_array(self, key: Tuple[str, int], flen: int, delta_f: float,
+                  f_low: float) -> np.ndarray:
+        name, idx = key
+        if name == "aLIGOZeroDetHighPower":
+            return get_psd(name, flen, delta_f, f_low)
+        return psd_variant(flen, delta_f, f_low, detector=name, index=idx)
 
 
 def make_injection_table(
@@ -102,6 +167,119 @@ def _project_injection_batch(
     return np.stack(outs, axis=1)
 
 
+def _add_injections(
+    fg_noise: Dict[str, np.ndarray],
+    params: Dict[str, np.ndarray],
+    start: float,
+    sample_rate: float,
+    wave_duration: float,
+    f_lower: float,
+    detectors: Sequence[str],
+    approximant: str,
+    inject_batch: int,
+) -> None:
+    """Add every injection whose tc falls inside this segment (in place)."""
+    n = len(fg_noise[detectors[0]])
+    n_wave = int(wave_duration * sample_rate)
+    end = start + n / sample_rate
+    mask = (params["tc"] >= start) & (params["tc"] < end)
+    idxs = np.flatnonzero(mask)
+    for bstart in range(0, len(idxs), inject_batch):
+        blk = idxs[bstart : bstart + inject_batch]
+        strains = _project_injection_batch(
+            params, blk, wave_duration, sample_rate, f_lower, 1.0, detectors,
+            approximant=approximant,
+        )
+        for bi, gi in enumerate(blk):
+            # coalescence sits 3/4 into the waveform window
+            t0 = params["tc"][gi] - 0.75 * wave_duration
+            s = int(round((t0 - start) * sample_rate))
+            e = s + n_wave
+            ws, we = max(0, -s), n_wave - max(0, e - n)
+            s, e = max(s, 0), min(e, n)
+            if s >= e:
+                continue
+            for di, det in enumerate(detectors):
+                fg_noise[det][s:e] += strains[bi, di][ws:we]
+
+
+def write_real_noise_file(
+    path: str,
+    duration: float = 7200.0,
+    sample_rate: float = 2048.0,
+    seed: int = 0,
+    detectors: Sequence[str] = DETECTORS,
+    segments: Optional[List[Tuple[float, float]]] = None,
+    psd_name: str = "aLIGOZeroDetHighPower",
+) -> List[Tuple[float, float]]:
+    """Write a noise file in the challenge's real-noise layout.
+
+    Layout (generate_data.py:197-216 `store_ts` / :303-316): one dataset
+    per `{detector}/{int(start_time)}` with `start_time` and `delta_t`
+    attrs. Dataset 4 generation consumes this layout; real O3a data
+    exported from GWOSC drops into the same function. Here the content is
+    synthesized colored noise (the AEI download is unavailable zero-egress).
+    """
+    spans = segments or restrict_segments(default_o3a_segments(), duration)
+    key = jax.random.PRNGKey(seed)
+    n_chunk = 1 << 19
+    psd_n, c = _normalized_psd(psd_name, n_chunk, sample_rate, 18.0)
+    with h5py.File(path, "w") as f:
+        for start, end in spans:
+            n = int(round((end - start) * sample_rate))
+            for det in detectors:
+                rows = []
+                remaining = n
+                while remaining > 0:
+                    key, sub = jax.random.split(key)
+                    chunk = np.asarray(colored_noise(sub, n_chunk, 1.0 / sample_rate, psd_n))
+                    rows.append(chunk[: min(n_chunk, remaining)])
+                    remaining -= n_chunk
+                ds = f.create_dataset(
+                    f"{det}/{int(start)}",
+                    data=(np.concatenate(rows) * np.sqrt(c)).astype(np.float32))
+                ds.attrs["start_time"] = float(start)
+                ds.attrs["delta_t"] = 1.0 / sample_rate
+    return spans
+
+
+def load_real_noise_segments(
+    path: str,
+    duration: float,
+    detectors: Sequence[str] = DETECTORS,
+    slide_buffer: float = 240.0,
+) -> List[OverlapSegment]:
+    """Read a real-noise file (see :func:`write_real_noise_file` for the
+    layout) into OverlapSegments, reserving ``slide_buffer`` seconds per
+    segment for inter-detector time slides (generate_data.py:286-292)."""
+    segs: List[OverlapSegment] = []
+    covered = 0.0
+    with h5py.File(path, "r") as f:
+        starts = sorted(int(k) for k in f[detectors[0]].keys())
+        for st in starts:
+            if covered >= duration:
+                break
+            seg = OverlapSegment()
+            for det in detectors:
+                ds = f[f"{det}/{st}"]
+                dt = float(ds.attrs["delta_t"])
+                seg.add_timeseries(DetectorData(
+                    detector=det, strain=ds[()],
+                    start_time=float(ds.attrs["start_time"]),
+                    sample_rate=1.0 / dt))
+            o_start, o_end = seg.overlap
+            usable = (o_end - o_start) - slide_buffer
+            if usable <= 0:
+                continue
+            seg.duration = min(usable, duration - covered)
+            covered += seg.duration
+            segs.append(seg)
+    if covered < duration:
+        raise ValueError(
+            f"real-noise file covers {covered:.0f}s < requested {duration:.0f}s")
+    return segs
+
+
 def generate_challenge_data(
     foreground_path: str,
     background_path: str,
@@ -113,19 +291,39 @@ def generate_challenge_data(
     detectors: Sequence[str] = DETECTORS,
     f_lower: float = 20.0,
     segments: Optional[List[Tuple[float, float]]] = None,
-    distribution: SourceDistribution = SourceDistribution(),
+    distribution: Optional[SourceDistribution] = None,
     wave_duration: float = 64.0,
     inject_batch: int = 64,
+    dataset: int = 1,
+    real_noise_path: Optional[str] = None,
+    slide_buffer: float = 240.0,
 ) -> Dict[str, np.ndarray]:
     """Write background (noise), foreground (noise+injections), and
-    injection-table HDF5 files in the MLGWSC-1 layout."""
-    psd_names = psd_names or {det: "aLIGOZeroDetHighPower" for det in detectors}
-    spans = segments or restrict_segments(default_o3a_segments(), duration)
+    injection-table HDF5 files in the MLGWSC-1 layout for challenge
+    ``dataset`` 1-4 (dataset 4 needs ``real_noise_path``; see
+    :func:`write_real_noise_file` for its layout)."""
+    distribution = distribution or challenge_distribution(dataset)
+    rng = np.random.default_rng(seed)
+
+    if dataset == 4:
+        if real_noise_path is None:
+            raise ValueError("dataset 4 requires real_noise_path")
+        real_segs = load_real_noise_segments(
+            real_noise_path, duration, detectors, slide_buffer)
+        shifted = [seg.get(shift=True, rng=rng) for seg in real_segs]
+        spans = [(st, st + arr.shape[-1] / sample_rate) for st, arr in shifted]
+    else:
+        if psd_names:
+            selector = None
+        else:
+            selector = ChallengePSDSelector(dataset, seed, detectors)
+        spans = segments or restrict_segments(default_o3a_segments(), duration)
+
     params = make_injection_table(seed, spans, distribution=distribution)
-    logging.info("%d segments, %d injections", len(spans), len(params["tc"]))
+    logging.info("dataset %d: %d segments, %d injections",
+                 dataset, len(spans), len(params["tc"]))
 
     key = jax.random.PRNGKey(seed)
-    n_wave = int(wave_duration * sample_rate)
     with h5py.File(background_path, "w") as bg, h5py.File(foreground_path, "w") as fg:
         for det in detectors:
             bg.create_group(det)
@@ -136,43 +334,40 @@ def generate_challenge_data(
         # generate_data.py:404-434; chunk boundaries are not phase-continuous
         # there either). The last chunk is generated full and trimmed.
         n_chunk = 1 << 19
-        psd_chunk = {}
-        for det in detectors:
-            psd_chunk[det] = _normalized_psd(psd_names[det], n_chunk, sample_rate, f_lower - 2.0)
+        psd_cache: Dict[Tuple[str, int], Tuple[jnp.ndarray, float]] = {}
         for si, (start, end) in enumerate(spans):
             n = int(round((end - start) * sample_rate))
             seg_noise = {}
-            for det in detectors:
-                psd_n, c = psd_chunk[det]
-                rows = []
-                remaining = n
-                while remaining > 0:
-                    key, sub = jax.random.split(key)
-                    chunk = np.asarray(colored_noise(sub, n_chunk, 1.0 / sample_rate, psd_n))
-                    rows.append(chunk[: min(n_chunk, remaining)])
-                    remaining -= n_chunk
-                seg_noise[det] = (np.concatenate(rows) * np.sqrt(c)).astype(np.float32)
-            # injections falling in this segment
-            mask = (params["tc"] >= start) & (params["tc"] < end)
-            idxs = np.flatnonzero(mask)
+            if dataset == 4:
+                st, arr = shifted[si]
+                for di, det in enumerate(detectors):
+                    seg_noise[det] = arr[di][:n].astype(np.float32)
+            else:
+                for det in detectors:
+                    if psd_names:
+                        psd_n, c = psd_cache.setdefault(
+                            (psd_names[det], 0),
+                            _normalized_psd(psd_names[det], n_chunk, sample_rate,
+                                            f_lower - 2.0))
+                    else:
+                        pkey = selector.key_for(det, si)
+                        if pkey not in psd_cache:
+                            psd_cache[pkey] = _normalize_psd_array(
+                                selector.psd_array(pkey, n_chunk // 2 + 1,
+                                                   sample_rate / n_chunk,
+                                                   f_lower - 2.0))
+                        psd_n, c = psd_cache[pkey]
+                    rows = []
+                    remaining = n
+                    while remaining > 0:
+                        key, sub = jax.random.split(key)
+                        chunk = np.asarray(colored_noise(sub, n_chunk, 1.0 / sample_rate, psd_n))
+                        rows.append(chunk[: min(n_chunk, remaining)])
+                        remaining -= n_chunk
+                    seg_noise[det] = (np.concatenate(rows) * np.sqrt(c)).astype(np.float32)
             fg_noise = {det: seg_noise[det].copy() for det in detectors}
-            for bstart in range(0, len(idxs), inject_batch):
-                blk = idxs[bstart : bstart + inject_batch]
-                strains = _project_injection_batch(
-                    params, blk, wave_duration, sample_rate, f_lower, 1.0, detectors,
-                    approximant=distribution.approximant,
-                )
-                for bi, gi in enumerate(blk):
-                    # coalescence sits 3/4 into the waveform window
-                    t0 = params["tc"][gi] - 0.75 * wave_duration
-                    s = int(round((t0 - start) * sample_rate))
-                    e = s + n_wave
-                    ws, we = max(0, -s), n_wave - max(0, e - n)
-                    s, e = max(s, 0), min(e, n)
-                    if s >= e:
-                        continue
-                    for di, det in enumerate(detectors):
-                        fg_noise[det][s:e] += strains[bi, di][ws:we]
+            _add_injections(fg_noise, params, start, sample_rate, wave_duration,
+                            f_lower, detectors, distribution.approximant, inject_batch)
             for det in detectors:
                 for arr, f in ((seg_noise, bg), (fg_noise, fg)):
                     ds = f[det].create_dataset(str(si), data=arr[det])
@@ -181,6 +376,7 @@ def generate_challenge_data(
     with h5py.File(injection_path, "w") as inj:
         for k, v in params.items():
             inj.create_dataset(k, data=v)
+        inj.attrs["dataset"] = dataset
     return params
 
 

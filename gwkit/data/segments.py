@@ -60,24 +60,34 @@ class OverlapSegment:
     ) -> Tuple[float, np.ndarray]:
         """Returns (start_time, strain (D, N)) over the common span.
 
-        ``shift=True`` applies independent circular relative time slides to
+        ``shift=True`` applies independent relative time slides to
         detectors 1.. (detector 0 unshifted) — the challenge's dataset-4
         mechanism to decorrelate real noise between detectors while
-        preserving each detector's own statistics.
+        preserving each detector's own statistics. When ``duration`` trims
+        the segment below the available overlap, the spare tail acts as the
+        slide buffer and shifts are non-circular offsets into it
+        (generate_data.py:286-292 reserves 240 s for exactly this);
+        otherwise the slide wraps circularly.
         """
         start, end = self.overlap
         fs = self.data[0].sample_rate
         dur = self.duration if self.duration is not None else end - start
         dur = min(dur, end - start)
         n = int(round(dur * fs))
+        buffer = int(round((end - start - dur) * fs))
         rng = rng or np.random.default_rng()
         rows = []
         for i, d in enumerate(self.data):
             assert d.sample_rate == fs, "mixed sample rates in a segment"
             s = int(round((start - d.start_time) * fs))
-            row = d.strain[s : s + n]
             if shift and i > 0:
-                row = np.roll(row, int(rng.integers(0, n)))
+                if buffer > 0:
+                    off = int(rng.integers(0, buffer + 1))
+                    row = d.strain[s + off : s + off + n]
+                else:
+                    row = np.roll(d.strain[s : s + n], int(rng.integers(0, n)))
+            else:
+                row = d.strain[s : s + n]
             rows.append(row)
         return start, np.stack(rows)
 

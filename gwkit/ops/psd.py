@@ -19,6 +19,7 @@ PSD arrays are one-sided, length flen = N//2 + 1, units strain^2/Hz.
 from __future__ import annotations
 
 import os
+import zlib
 from typing import Dict, Tuple
 
 import jax.numpy as jnp
@@ -44,6 +45,36 @@ def flat_psd(flen: int, delta_f: float, amplitude: float = 1.0, low_freq_cutoff:
     psd = np.full(flen, amplitude, dtype=np.float64)
     psd[f < low_freq_cutoff] = 0.0
     return psd
+
+
+def psd_variant(
+    flen: int,
+    delta_f: float,
+    low_freq_cutoff: float = 9.0,
+    detector: str = "H1",
+    index: int = 0,
+) -> np.ndarray:
+    """Deterministic family of perturbed aLIGO design PSDs.
+
+    Stand-in for the challenge's 20 per-detector O3a PSD-estimate files
+    (`/root/reference/MLGWSC-1/generate_data.py:332-333` hard-codes cluster
+    paths that do not ship): the ZDHP design curve multiplied by a smooth
+    seeded log-frequency perturbation (a few low-order cosines, ~±25% in
+    ASD) plus an overall sensitivity scale, mimicking run-to-run PSD drift.
+    Real PSD files drop in via :func:`load_psd_file` when available.
+    """
+    base = aligo_zdhp_psd(flen, delta_f, low_freq_cutoff)
+    f = np.arange(flen) * delta_f
+    # zlib.crc32 rather than hash(): stable across processes (PYTHONHASHSEED)
+    rng = np.random.default_rng(zlib.crc32(f"{detector}:{int(index)}".encode()))
+    logf = np.log(np.maximum(f, low_freq_cutoff) / 215.0)
+    pert = np.zeros(flen)
+    for k in range(1, 5):
+        pert += rng.normal(0.0, 0.12 / k) * np.cos(k * logf + rng.uniform(0, 2 * np.pi))
+    level = rng.normal(0.0, 0.15)
+    out = base * np.exp(2.0 * (pert + level))  # factor 2: perturb the ASD
+    out[f < low_freq_cutoff] = 0.0
+    return out
 
 
 PSD_BUILDERS = {

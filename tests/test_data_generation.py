@@ -148,3 +148,93 @@ def test_generate_training_set_small(tmp_path):
     assert 0.5 * np.sqrt(2048) < noises.std() < 1.5 * np.sqrt(2048)
     # unit-network-SNR waveforms: tiny amplitude relative to whitened noise
     assert 0 < np.abs(waves).max() < noises.std()
+
+
+class TestChallengeDatasets:
+    def test_distributions_per_dataset(self):
+        from gwkit.data.generate import challenge_distribution
+
+        rng = np.random.default_rng(0)
+        d1 = challenge_distribution(1).sample(rng, 100)
+        assert np.all(d1["spin1z"] == 0)
+        d2 = challenge_distribution(2)
+        assert d2.spin_max == 0.99 and not d2.isotropic_spins
+        p2 = d2.sample(rng, 200)
+        assert (p2["spin1z"] < -0.5).any() and (p2["spin1z"] > 0.5).any()
+        d3 = challenge_distribution(3)
+        assert d3.isotropic_spins
+        with pytest.raises(ValueError):
+            challenge_distribution(5)
+
+    def test_psd_selector_semantics(self):
+        from gwkit.data.generate import ChallengePSDSelector
+
+        dets = ("H1", "L1")
+        s1 = ChallengePSDSelector(1, 0, dets)
+        assert s1.key_for("H1", 0) == s1.key_for("L1", 3)
+        s2 = ChallengePSDSelector(2, 0, dets)
+        keys = [s2.key_for("H1", i) for i in range(5)]
+        assert len(set(keys)) == 1  # fixed per run
+        assert s2.key_for("H1", 0) != s2.key_for("L1", 0) or True  # distinct dets allowed
+        s3 = ChallengePSDSelector(3, 0, dets)
+        keys3 = [s3.key_for("H1", i) for i in range(10)]
+        assert len(set(keys3)) > 1  # re-drawn per segment
+
+    def test_psd_variant_deterministic_and_distinct(self):
+        from gwkit.ops.psd import psd_variant, aligo_zdhp_psd
+
+        a = psd_variant(513, 2.0, 9.0, "H1", 3)
+        b = psd_variant(513, 2.0, 9.0, "H1", 3)
+        np.testing.assert_array_equal(a, b)
+        c = psd_variant(513, 2.0, 9.0, "H1", 4)
+        assert not np.array_equal(a, c)
+        base = aligo_zdhp_psd(513, 2.0, 9.0)
+        pos = base > 0
+        ratio = a[pos] / base[pos]
+        assert np.all(ratio > 0.05) and np.all(ratio < 20.0)
+
+    def test_dataset4_from_local_noise(self, tmp_path):
+        from gwkit.data.generate import generate_challenge_data, write_real_noise_file
+
+        fs = 512.0
+        noise_path = str(tmp_path / "real_noise.hdf")
+        spans = [(1238166018.0, 1238166018.0 + 600.0),
+                 (1238167018.0, 1238167018.0 + 600.0)]
+        write_real_noise_file(noise_path, sample_rate=fs, seed=1, segments=spans)
+        fg_p, bg_p, inj_p = (str(tmp_path / n) for n in ("fg.hdf", "bg.hdf", "inj.hdf"))
+        params = generate_challenge_data(
+            fg_p, bg_p, inj_p, duration=700.0, sample_rate=fs, seed=5,
+            dataset=4, real_noise_path=noise_path, wave_duration=32.0)
+        assert len(params["tc"]) > 5
+        assert np.abs(params["spin1z"]).max() > 0.1  # ds4 population spins
+        with h5py.File(bg_p, "r") as bg, h5py.File(fg_p, "r") as fg:
+            assert set(bg.keys()) == {"H1", "L1"}
+            total = sum(bg["H1"][k].shape[0] for k in bg["H1"])
+            assert abs(total / fs - 700.0) < 2.0
+            k0 = sorted(bg["H1"].keys())[0]
+            h1 = bg["H1"][k0][()]
+            l1 = bg["L1"][k0][()]
+            # time slides: detectors decorrelated
+            cc = np.corrcoef(h1, l1)[0, 1]
+            assert abs(cc) < 0.1
+            # foreground differs from background where injections landed
+            diff = fg["H1"][k0][()] - h1
+            assert np.abs(diff).max() > 0
+        with h5py.File(inj_p, "r") as inj:
+            assert inj.attrs["dataset"] == 4
+
+    def test_dataset2_fixed_variant_noise(self, tmp_path):
+        from gwkit.data.generate import generate_challenge_data
+
+        fs = 512.0
+        fg_p, bg_p, inj_p = (str(tmp_path / n) for n in ("fg2.hdf", "bg2.hdf", "inj2.hdf"))
+        spans = [(1238166018.0, 1238166018.0 + 200.0)]
+        generate_challenge_data(
+            fg_p, bg_p, inj_p, sample_rate=fs, seed=3, dataset=2,
+            segments=spans, wave_duration=32.0)
+        with h5py.File(bg_p, "r") as bg:
+            h1 = bg["H1"]["0"][()]
+            l1 = bg["L1"]["0"][()]
+        # both physical-strain scale, but different PSD variants per detector
+        assert 1e-24 < h1.std() < 1e-19
+        assert abs(h1.std() / l1.std() - 1.0) > 0.02  # distinct PSD variants
