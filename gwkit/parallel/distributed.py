@@ -42,6 +42,37 @@ def shard_segments_across_hosts(segments: Sequence, process_id: int, num_process
     return [seg for i, seg in enumerate(segments) if i % num_processes == process_id]
 
 
+def write_trigger_shard(local_triggers: Dict[str, list], shard_dir: str, process_id: int) -> str:
+    """Serialize one host's per-segment trigger lists as (time, stat) rows."""
+    import os
+
+    import numpy as np
+
+    os.makedirs(shard_dir, exist_ok=True)
+    path = os.path.join(shard_dir, f"triggers_{process_id}.npz")
+    np.savez(
+        path,
+        **{key: np.asarray(v, dtype=np.float64).reshape(-1, 2) for key, v in local_triggers.items()},
+    )
+    return path
+
+
+def merge_trigger_shards(shard_dir: str, num_processes: int) -> Dict[str, list]:
+    """Read every host's trigger shard back and merge into one segment->list
+    dict, sorted by segment key. Segment keys are disjoint across hosts
+    (shard_segments_across_hosts partitions them), so the merge is a union."""
+    import os
+
+    import numpy as np
+
+    merged: Dict[str, list] = {}
+    for p in range(num_processes):
+        with np.load(os.path.join(shard_dir, f"triggers_{p}.npz")) as data:
+            for key in data.files:
+                merged[key] = data[key].tolist()
+    return dict(sorted(merged.items()))
+
+
 def gather_trigger_lists(
     local_triggers: Dict[str, list], shard_dir: Optional[str] = None
 ) -> Dict[str, list]:
@@ -56,22 +87,9 @@ def gather_trigger_lists(
 
     if jax.process_count() == 1:
         return local_triggers
-    import os
-
-    import numpy as np
     from jax.experimental import multihost_utils
 
     assert shard_dir is not None, "multi-host gather needs a shared shard_dir"
-    os.makedirs(shard_dir, exist_ok=True)
-    pid = jax.process_index()
-    np.savez(
-        os.path.join(shard_dir, f"triggers_{pid}.npz"),
-        **{key: np.asarray(v, dtype=np.float64).reshape(-1, 2) for key, v in local_triggers.items()},
-    )
+    write_trigger_shard(local_triggers, shard_dir, jax.process_index())
     multihost_utils.sync_global_devices("gwkit_trigger_gather")
-    merged: Dict[str, list] = {}
-    for p in range(jax.process_count()):
-        with np.load(os.path.join(shard_dir, f"triggers_{p}.npz")) as data:
-            for key in data.files:
-                merged[key] = data[key].tolist()
-    return dict(sorted(merged.items()))
+    return merge_trigger_shards(shard_dir, jax.process_count())

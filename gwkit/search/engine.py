@@ -132,6 +132,7 @@ def get_triggers(
     batch_size: int = 256,
     verbose: bool = False,
     stream: bool = False,
+    shard_dir: Optional[str] = None,
 ) -> Tuple[Dict[str, List[List[float]]], np.ndarray, SearchResult]:
     """Full reference get_triggers flow on a gwkit Task (usually mlgwsc, USR).
 
@@ -140,6 +141,11 @@ def get_triggers(
     hosts with many segments: on a single-core host the reader thread
     contends with the batch-dispatch loop and measures strictly slower
     (80.8 s vs 49.7 s on the 2 h demo file), so eager reads are the default.
+
+    Multi-host: under ``jax.distributed`` (process_count > 1) each host
+    scores a round-robin share of the segments and the per-segment trigger
+    lists are gathered through ``shard_dir`` (a shared filesystem path);
+    ``all_vals`` stays host-local (debug surface only).
     """
     trainable = trainable if trainable is not None else task.trainable
     frozen = task.frozen
@@ -150,6 +156,11 @@ def get_triggers(
         return out[:, 0]
 
     segments = stream_segments(inputfile) if stream else read_segments(inputfile)
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        from gwkit.parallel.distributed import shard_segments_across_hosts
+
+        segments = shard_segments_across_hosts(segments, jax.process_index(), n_proc)
     cfg = SlicerConfig(
         step_size=step_size, low_frequency_cutoff=low_frequency_cutoff, batch_size=batch_size
     )
@@ -157,6 +168,12 @@ def get_triggers(
         score_fn, segments, cfg, trigger_threshold=trigger_threshold,
         white=white, whitened_out=whitened_file, verbose=verbose,
     )
+    if n_proc > 1:
+        from gwkit.parallel.distributed import gather_trigger_lists
+
+        result = dataclasses.replace(
+            result, triggers=gather_trigger_lists(result.triggers, shard_dir)
+        )
     return result.triggers, result.all_vals, result
 
 

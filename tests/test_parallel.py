@@ -49,6 +49,81 @@ def test_sharded_forward_matches_single_device(rng):
     np.testing.assert_allclose(sharded, base, rtol=1e-4, atol=1e-5)
 
 
+def test_shard_segments_partition():
+    from gwkit.parallel.distributed import shard_segments_across_hosts
+
+    segs = [f"seg{i:02d}" for i in range(11)]
+    shards = [shard_segments_across_hosts(segs, p, 4) for p in range(4)]
+    flat = [s for shard in shards for s in shard]
+    assert sorted(flat) == sorted(segs)  # complete
+    assert len(set(flat)) == len(flat)  # disjoint
+    # deterministic + balanced (longest-first input stays balanced round-robin)
+    assert shards[0] == shard_segments_across_hosts(segs, 0, 4)
+    sizes = [len(s) for s in shards]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_trigger_shard_merge_roundtrip(tmp_path):
+    from gwkit.parallel.distributed import merge_trigger_shards, write_trigger_shard
+
+    host0 = {"s1": [[0.5, 1.2], [0.9, 3.4]], "s3": []}
+    host1 = {"s2": [[7.0, 0.1]]}
+    write_trigger_shard(host0, str(tmp_path), 0)
+    write_trigger_shard(host1, str(tmp_path), 1)
+    merged = merge_trigger_shards(str(tmp_path), 2)
+    assert list(merged) == ["s1", "s2", "s3"]  # sorted by segment key
+    np.testing.assert_allclose(merged["s1"], host0["s1"])
+    np.testing.assert_allclose(merged["s2"], host1["s2"])
+    assert merged["s3"] == []
+
+
+def test_two_process_distributed_gather(tmp_path):
+    """End-to-end barrier path: two real processes under jax.distributed on
+    CPU, each gathering the other's trigger shard (gwkit/parallel/distributed.py)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    child = tmp_path / "child.py"
+    child.write_text(textwrap.dedent(f"""
+        import json
+        import sys
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from gwkit.utils.platform import force_cpu
+        force_cpu()
+        import jax
+        pid = int(sys.argv[1])
+        from gwkit.parallel.distributed import (
+            gather_trigger_lists, initialize, shard_segments_across_hosts)
+        initialize("localhost:{port}", 2, pid)
+        segs = [f"seg{{i}}" for i in range(5)]
+        mine = shard_segments_across_hosts(segs, pid, 2)
+        local = {{k: [[float(i), 1.0 + pid]] for i, k in enumerate(segs) if k in mine}}
+        merged = gather_trigger_lists(local, {str(tmp_path)!r})
+        if pid == 0:
+            with open({str(tmp_path / "merged.json")!r}, "w") as f:
+                json.dump(merged, f)
+    """))
+    procs = [
+        subprocess.Popen([sys.executable, str(child), str(p)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for p in range(2)
+    ]
+    outs = [p.communicate(timeout=120)[0].decode() for p in procs]
+    assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
+    with open(tmp_path / "merged.json") as f:
+        merged = json.load(f)
+    assert sorted(merged) == [f"seg{i}" for i in range(5)]
+    # each host's stat value (1.0 + pid) survives the roundtrip
+    assert merged["seg0"][0][1] == 1.0 and merged["seg1"][0][1] == 2.0
+
+
 def test_window_sharded_search_matches(rng):
     from gwkit.search.engine import score_segments
     from gwkit.search.slicer import Segment, SlicerConfig
