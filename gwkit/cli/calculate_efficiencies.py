@@ -27,12 +27,17 @@ def parse_args(argv=None):
                    help="'best', 'all', or comma-separated epoch numbers.")
     p.add_argument("--n-frames", type=int, default=3000)
     p.add_argument("--input-sample-rate", type=int, default=2048)
-    return p.parse_args(argv)
+    from gwkit.utils.config import parse_with_config
+
+    return parse_with_config(p, argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
     setup(args)
+    from gwkit.utils.config import dump_config
+
+    dump_config(args, args.output_dir)
     import h5py
     import jax
 

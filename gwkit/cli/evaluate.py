@@ -19,12 +19,17 @@ def parse_args(argv=None):
     p.add_argument("--foreground-files", type=str, nargs="+", required=True)
     p.add_argument("--background-events", type=str, nargs="+", required=True)
     p.add_argument("--output-file", type=str, required=True)
-    return p.parse_args(argv)
+    from gwkit.utils.config import parse_with_config
+
+    return parse_with_config(p, argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
     setup(args)
+    from gwkit.utils.config import dump_config
+
+    dump_config(args, args.output_file)
     from gwkit.evaluation.mlgwsc import find_injection_times, get_stats, read_events
 
     if os.path.splitext(args.output_file)[1] != ".hdf":

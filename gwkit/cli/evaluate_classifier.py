@@ -23,12 +23,17 @@ def parse_args(argv=None):
     p.add_argument("--bootstrap", type=int, default=1000, help="Bootstrap resamples for ROC bands.")
     p.add_argument("--n-frames", type=int, default=3000)
     p.add_argument("--input-sample-rate", type=int, default=2048)
-    return p.parse_args(argv)
+    from gwkit.utils.config import parse_with_config
+
+    return parse_with_config(p, argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
     setup(args)
+    from gwkit.utils.config import dump_config
+
+    dump_config(args, args.output_dir)
     import os
 
     import h5py

@@ -44,12 +44,17 @@ def parse_args(argv=None):
     gl = sub.add_parser("glitch", help="Synthetic Gravity Spy-style glitch corpus.")
     gl.add_argument("-o", "--output", type=str, required=True)
     gl.add_argument("--n-per-class", type=int, default=100)
-    return p.parse_args(argv)
+    from gwkit.utils.config import parse_with_config
+
+    return parse_with_config(p, argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
     setup(args)
+    from gwkit.utils.config import dump_config
+
+    dump_config(args, getattr(args, "output", None) or args.output_foreground_file)
     if args.mode == "challenge":
         from gwkit.data.generate import generate_challenge_data
 

@@ -27,7 +27,9 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--debug-triggers-file", type=str, default=None)
     p.add_argument("--debug-whitened-file", type=str, default=None)
-    return p.parse_args(argv)
+    from gwkit.utils.config import parse_with_config
+
+    return parse_with_config(p, argv)
 
 
 def load_task_from_components(
@@ -70,6 +72,9 @@ def main(argv=None):
 
     args = parse_args(argv)
     setup(args)
+    from gwkit.utils.config import dump_config
+
+    dump_config(args, args.outputfile)
     for path in (args.outputfile, args.debug_whitened_file, args.debug_triggers_file):
         check_file_existence(path if path else None, args.force)
         if path and args.force and os.path.isfile(path):

@@ -38,7 +38,9 @@ def parse_args(argv=None):
     ev.add_argument("output", type=str)
     ev.add_argument("--window", type=int, default=2048)
     ev.add_argument("--step", type=int, default=204)
-    return p.parse_args(argv)
+    from gwkit.utils.config import parse_with_config
+
+    return parse_with_config(p, argv)
 
 
 def _walk_datasets(h5group, prefix=""):
@@ -55,6 +57,9 @@ def _walk_datasets(h5group, prefix=""):
 def main(argv=None):
     args = parse_args(argv)
     setup(args)
+    from gwkit.utils.config import dump_config
+
+    dump_config(args, args.output)
     import h5py
     import jax.numpy as jnp
 

@@ -23,12 +23,17 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--n-frames", type=int, default=3000)
     p.add_argument("--whiten", action="store_true", help="Whiten the event strain first.")
-    return p.parse_args(argv)
+    from gwkit.utils.config import parse_with_config
+
+    return parse_with_config(p, argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
     setup(args)
+    from gwkit.utils.config import dump_config
+
+    dump_config(args, args.output)
     import h5py
     import jax
 

@@ -27,12 +27,17 @@ def parse_args(argv=None):
     p.add_argument("--detectors", type=int, default=2, choices=[1, 2],
                    help="2 = two-channel H1/L1 (src/train.py); 1 = single-detector (sd_train.py).")
     p.add_argument("--resume", nargs="?", const="latest", default=None, choices=["latest", "best"])
-    return p.parse_args(argv)
+    from gwkit.utils.config import parse_with_config
+
+    return parse_with_config(p, argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
     setup(args)
+    from gwkit.utils.config import dump_config
+
+    dump_config(args, args.output)
     import glob
     import os
 

@@ -27,12 +27,17 @@ def parse_args(argv=None):
     p.add_argument("--full-finetune", action="store_true",
                    help="Train the whole encoder (train_full_finetune.py).")
     p.add_argument("--valid-fraction", type=float, default=0.2)
-    return p.parse_args(argv)
+    from gwkit.utils.config import parse_with_config
+
+    return parse_with_config(p, argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
     setup(args)
+    from gwkit.utils.config import dump_config
+
+    dump_config(args, args.output)
     import os
 
     import h5py

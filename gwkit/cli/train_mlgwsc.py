@@ -31,12 +31,17 @@ def parse_args(argv=None):
     p.add_argument("--pretrain-lr", type=float, default=1e-4)
     p.add_argument("--pretrain-temp", type=float, default=0.1)
     p.add_argument("--noise-only-prob", type=float, default=0.25)
-    return p.parse_args(argv)
+    from gwkit.utils.config import parse_with_config
+
+    return parse_with_config(p, argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
     setup(args)
+    from gwkit.utils.config import dump_config
+
+    dump_config(args, args.output_training)
     import glob
     import os
 

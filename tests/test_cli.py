@@ -1,6 +1,7 @@
-"""CLI surface tests: every entry point imports, exposes --help, and parses
-its reference-parity flags."""
+"""CLI surface tests: every entry point imports, exposes --help, parses its
+reference-parity flags, and round-trips the unified --config tree."""
 import importlib
+import json
 
 import pytest
 
@@ -61,3 +62,56 @@ def test_real_events_cli_help(capsys):
     with pytest.raises(SystemExit) as exc:
         parse_args(["--help"])
     assert exc.value.code == 0
+
+
+# minimal required argv per entry point (config-tree round-trip tests)
+REQUIRED_ARGV = {
+    "gwkit.cli.train": ["-d", "x.hdf", "-o", "out"],
+    "gwkit.cli.train_mlgwsc": ["-d", "dsdir", "-o", "out"],
+    "gwkit.cli.train_glitch": ["-d", "x.hdf", "-o", "out"],
+    "gwkit.cli.train_efficiency": ["-d", "x.hdf", "-o", "out"],
+    "gwkit.cli.inference": ["in.hdf", "out.hdf", "--lora-weights", "l",
+                            "--dense-weights", "d", "--adapter-weights", "a"],
+    "gwkit.cli.evaluate": ["--injection-file", "i", "--foreground-events", "f",
+                           "--foreground-files", "ff", "--background-events", "b",
+                           "--output-file", "o.hdf"],
+    "gwkit.cli.evaluate_classifier": ["-d", "x.hdf", "--checkpoint", "c.npz", "-o", "out"],
+    "gwkit.cli.generate_data": ["training", "-o", "out.hdf"],
+    "gwkit.cli.calculate_efficiencies": ["-d", "x.hdf", "--checkpoint-dir", "c", "-o", "out"],
+    "gwkit.cli.preprocess": ["resample", "in.hdf", "out.hdf"],
+    "gwkit.cli.real_events": ["-d", "e.hdf", "--checkpoint", "c.npz", "-o", "out.hdf"],
+}
+
+
+def _normalize(v):
+    return list(v) if isinstance(v, (list, tuple)) else v
+
+
+@pytest.mark.parametrize("mod_name", sorted(REQUIRED_ARGV))
+def test_config_roundtrip_and_precedence(mod_name, tmp_path):
+    """--config <dumped tree> reproduces a run's resolved flags on every
+    entry point, and explicitly passed flags beat the config file."""
+    from gwkit.utils.config import config_tree
+
+    mod = importlib.import_module(mod_name)
+    argv = REQUIRED_ARGV[mod_name]
+    ref = mod.parse_args(["--seed", "7"] + argv)
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(config_tree(ref), default=str))
+
+    # round trip: defaults come back from the file
+    loaded = mod.parse_args(["--config", str(cfg_path)] + argv)
+    for dest, want in vars(ref).items():
+        if dest == "config":
+            continue
+        assert _normalize(getattr(loaded, dest)) == _normalize(want), dest
+    assert loaded.seed == 7  # file value applied over the parser default
+
+    # precedence: an explicit flag beats the same key in the file
+    override = mod.parse_args(["--config", str(cfg_path), "--seed", "9"] + argv)
+    assert override.seed == 9
+
+    # typo'd keys fail loudly
+    cfg_path.write_text(json.dumps({"train": {"not_a_real_key": 1}}))
+    with pytest.raises(SystemExit):
+        mod.parse_args(["--config", str(cfg_path)] + argv)
