@@ -47,6 +47,7 @@ class WhisperConfig:
     use_flash_attention: bool = False
     gelu_approx: bool = False  # tanh GELU (~1e-3 rel diff vs erf, saves VPU transcendentals)
     fused_mlp: bool = False  # Pallas LN+MLP+residual kernel (TPU only)
+    fused_block: bool = False  # whole-layer Pallas kernel (gwkit.ops.fused_block, TPU only)
 
     @property
     def head_dim(self) -> int:
@@ -177,6 +178,12 @@ def _attention(x, p, cfg: WhisperConfig, adapters=None):
 
 
 def _block(x, p, cfg: WhisperConfig, adapters=None):
+    if cfg.fused_block:
+        from gwkit.ops.fused_block import fused_encoder_block
+
+        interpret = jax.devices()[0].platform == "cpu"
+        return fused_encoder_block(x, p, cfg.n_heads, adapters,
+                                   approx=cfg.gelu_approx, interpret=interpret)
     h = _layer_norm(x, p["attn_ln"])
     x = x + _attention(h, p, cfg, adapters)
     if cfg.fused_mlp:

@@ -1,0 +1,86 @@
+"""Fused whole-layer encoder kernel vs the unfused reference math
+(interpreter mode on CPU), values and gradients, with and without DoRA."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gwkit.models.adapters import AdapterConfig, init_adapters
+from gwkit.models.whisper import WhisperConfig, encoder_apply, init_encoder_params
+from gwkit.ops.fused_block import _reference_block, fused_encoder_block
+
+CFG = WhisperConfig(d_model=64, n_heads=2, n_layers=2, d_ff=128, max_positions=64)
+
+
+def _layer_slice(tree, i):
+    return jax.tree.map(lambda a: a[i], tree)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_encoder_params(jax.random.PRNGKey(0), CFG)
+    adapters = init_adapters(jax.random.PRNGKey(1), CFG,
+                             AdapterConfig(r=4, alpha=8, use_dora=True, targets="qkvo"),
+                             params)
+    # non-zero B so the low-rank path actually contributes
+    adapters = jax.tree.map(
+        lambda a: a + 0.01 * np.arange(a.size, dtype=np.float32).reshape(a.shape) % 0.07,
+        adapters)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(3, 50, 64)).astype(np.float32))
+    return params, adapters, x
+
+
+@pytest.mark.parametrize("with_adapters", [False, True])
+@pytest.mark.parametrize("approx", [False, True])
+def test_fused_block_matches_reference(setup, with_adapters, approx):
+    params, adapters, x = setup
+    p = _layer_slice(params["layers"], 0)
+    ad = _layer_slice(adapters, 0) if with_adapters else None
+    want = _reference_block(x, p, ad, CFG.n_heads, approx)
+    got = fused_encoder_block(x, p, CFG.n_heads, ad, approx=approx, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+def test_fused_block_matches_whisper_block(setup):
+    """The in-kernel math must agree with gwkit.models.whisper._block (the
+    production unfused path) — guards both reimplementations at once."""
+    params, adapters, x = setup
+    from gwkit.models.whisper import _block
+
+    p = _layer_slice(params["layers"], 0)
+    ad = _layer_slice(adapters, 0)
+    want = _block(x, p, CFG, ad)
+    got = fused_encoder_block(x, p, CFG.n_heads, ad, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+def test_fused_block_gradients(setup):
+    """custom_vjp backward (reference-math recompute) == direct grads of the
+    reference math, for x, params, and adapters."""
+    params, adapters, x = setup
+    p = _layer_slice(params["layers"], 0)
+    ad = _layer_slice(adapters, 0)
+
+    def loss_fused(xx, pp, aa):
+        return jnp.sum(fused_encoder_block(xx, pp, CFG.n_heads, aa, interpret=True) ** 2)
+
+    def loss_ref(xx, pp, aa):
+        return jnp.sum(_reference_block(xx, pp, aa, CFG.n_heads, False) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, p, ad)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, p, ad)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_fused_flag_matches_unfused(setup):
+    """encoder_apply(fused_block=True) == encoder_apply(unfused) end to end
+    (scan over stacked layers, conv stem, positions, final LN)."""
+    params, adapters, _ = setup
+    mel = jnp.asarray(np.random.default_rng(5).normal(size=(2, 80, 128)).astype(np.float32))
+    cfg_fused = WhisperConfig(d_model=64, n_heads=2, n_layers=2, d_ff=128,
+                              max_positions=64, fused_block=True)
+    want = encoder_apply(CFG, params, mel, adapters)
+    got = encoder_apply(cfg_fused, params, mel, adapters)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
