@@ -201,12 +201,24 @@ def _block(x, p, cfg: WhisperConfig, adapters=None):
 
 
 def _conv1d(x, p, stride):
-    # x: (B, T, C_in); w: (k, C_in, C_out); SAME padding of 1 for k=3.
-    y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(stride,), padding=((1, 1),),
-        dimension_numbers=("NHC", "HIO", "NHC"),
-    )
-    return y + p["b"]
+    """k=3 SAME conv as ONE tap-concatenated MXU matmul.
+
+    lax.conv's TPU lowering measured 5.3 ms for the two stem convs at B=64
+    (docs/PERF.md); concatenating the three taps along features and doing a
+    single (B*T_out, 3C) @ (3C, D) matmul keeps the MXU contraction wide
+    (240 / 1152 for whisper-tiny) and identical math (same FLOPs, one dot)."""
+    B, T, C = x.shape
+    w = p["w"]  # (3, C_in, C_out)
+    if w.shape[0] != 3 or (stride == 2 and T % 2) or stride > 2:
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(stride,), padding=((1, 1),),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        return y + p["b"]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    taps = [xp[:, j:T + j:stride] for j in range(3)]
+    x3 = jnp.concatenate(taps, axis=-1)  # (B, T_out, 3C), tap-major like w.reshape
+    return x3 @ w.reshape(3 * C, w.shape[2]) + p["b"]
 
 
 def encoder_apply(

@@ -95,3 +95,23 @@ def test_random_init_runs():
     out = encoder_apply(cfg, params, mel)
     assert out.shape == (1, 32, 64)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_conv_stem_matmul_matches_lax_conv(rng):
+    """The tap-concatenated matmul lowering == lax.conv for k=3, strides 1/2,
+    including the odd-length fallback path."""
+    import jax
+    import jax.numpy as jnp
+
+    from gwkit.models.whisper import _conv1d
+
+    for T, stride in [(30, 1), (30, 2), (31, 1), (31, 2)]:
+        x = jnp.asarray(rng.normal(size=(2, T, 5)).astype(np.float32))
+        p = {"w": jnp.asarray(rng.normal(size=(3, 5, 7)).astype(np.float32)),
+             "b": jnp.asarray(rng.normal(size=(7,)).astype(np.float32))}
+        ref = jax.lax.conv_general_dilated(
+            x, p["w"], window_strides=(stride,), padding=((1, 1),),
+            dimension_numbers=("NHC", "HIO", "NHC")) + p["b"]
+        got = _conv1d(x, p, stride)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
