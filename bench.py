@@ -50,6 +50,7 @@ def main():
     enc = config_for(
         "tiny", compute_dtype=compute_dtype,
         use_flash_attention=on_tpu and os.environ.get("BENCH_FLASH", "1") == "1",
+        fused_block=on_tpu and os.environ.get("BENCH_FUSED_BLOCK", "1") == "1",
         gelu_approx=True,  # training/serving use the same activation; ~1e-3 vs erf
         max_positions=target_frames // 2,
     )
