@@ -73,18 +73,33 @@ def synthesize_glitch(
     t = np.arange(n) / sample_rate
     t0 = duration / 2 + rng.uniform(-0.05, 0.05)
     a = rng.uniform(3.0, 10.0)
+    # Morphology parameters follow the Gravity Spy class descriptions
+    # (Zevin et al. 2017): Blips are sub-cycle broadband transients well
+    # above 100 Hz, Blip Low Freq the same shape below ~60 Hz, Tomtes are
+    # longer rounded-triangle transients near 70 Hz, and Koi Fish are loud
+    # blips with a harmonic "body + fins" structure spanning low AND high
+    # frequency simultaneously — the round-1 ranges overlapped so heavily
+    # that Koi Fish was unlearnable (0.00 F1, docs/results/glitch).
     if class_name == "Blip":
-        return _sine_gaussian(t, rng.uniform(80, 250), rng.uniform(1, 3), t0, a)
+        return _sine_gaussian(t, rng.uniform(100, 400), rng.uniform(0.8, 2.0), t0, a)
     if class_name == "Blip Low Freq":
-        return _sine_gaussian(t, rng.uniform(30, 80), rng.uniform(1, 3), t0, a)
+        return _sine_gaussian(t, rng.uniform(20, 60), rng.uniform(0.8, 2.0), t0, a)
     if class_name == "Tomte":
-        return _sine_gaussian(t, rng.uniform(40, 90), rng.uniform(3, 6), t0, a)
+        f_mid = rng.uniform(50, 100)
+        # gentle downward sweep across the envelope (rounded-triangle look)
+        q = rng.uniform(4, 8)
+        tau = q / (2 * np.pi * f_mid)
+        freq = f_mid * (1.0 - 0.3 * np.clip((t - t0) / (3 * tau), -1, 1))
+        phase = 2 * np.pi * np.cumsum(freq) / sample_rate
+        return a * np.exp(-(((t - t0) / tau) ** 2)) * np.sin(phase)
     if class_name == "Koi Fish":
-        sig = sum(
-            _sine_gaussian(t, f, rng.uniform(1.5, 4), t0, a * w)
-            for f, w in [(rng.uniform(30, 60), 1.0), (rng.uniform(100, 300), 0.8), (rng.uniform(400, 800), 0.5)]
-        )
-        return sig
+        comps = [
+            (rng.uniform(25, 45), rng.uniform(1.5, 2.5), 1.0),
+            (rng.uniform(70, 140), rng.uniform(2.0, 3.0), 0.9),
+            (rng.uniform(200, 450), rng.uniform(2.5, 3.5), 0.7),
+            (rng.uniform(600, 900), rng.uniform(3.0, 4.0), 0.6),
+        ]
+        return sum(_sine_gaussian(t, f, q, t0, 1.3 * a * w) for f, q, w in comps)
     if class_name == "Whistle":
         f_start, f_end = rng.uniform(400, 900), rng.uniform(100, 300)
         width = rng.uniform(0.1, 0.3)

@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gwkit.ops.dora import dora_linear, dora_row_norms
+from gwkit.ops.fused_mlp import _fused_mlp_impl
 
 
 def _ln_f32(x, g, b, eps=1e-5):
@@ -54,97 +55,115 @@ def _dot(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _block_kernel(
-    # refs: x, ln1 g/b, per-proj (w, a, b_lr, scale, bias) for q,k,v,o,
-    # ln2 g/b, w1, b1, w2, b2, out, scratch h, q, k, v
+def _attn_block_kernel(
+    # refs: x, ln1 g/b, per-proj effective (w, bias) for q,k,v,o; out is
+    # x1 = x + o-proj(attention) and doubles as the attention-head
+    # accumulator. DoRA is folded into the DENSE effective weights OUTSIDE
+    # the kernel (O(r d^2) once per call) — in-kernel thin low-rank matmuls
+    # measured ~1.5 ms/layer of pure MXU-underfill overhead.
     x_ref, g1_ref, bb1_ref,
-    wq_ref, aq_ref, lq_ref, sq_ref, bq_ref,
-    wk_ref, ak_ref, lk_ref, sk_ref, bk_ref,
-    wv_ref, av_ref, lv_ref, sv_ref, bv_ref,
-    wo_ref, ao_ref, lo_ref, so_ref, bo_ref,
-    g2_ref, bb2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-    o_ref, h_s, q_s, k_s, v_s,
-    *, n_heads: int, t_valid: int, block_q: int, block_f: int,
-    q_scale: float, approx: bool,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    o_ref, h_s, q_s, k_s,
+    *, n_heads: int, t_valid: int, block_q: int,
+    q_scale: float, bias_flags: tuple, ablate: str = "",
 ):
-    x = x_ref[0]  # (Tp, D)
-    dt = x.dtype
-    h = _ln_f32(x, g1_ref[...], bb1_ref[...])
-    h_s[...] = h
+    dt = x_ref.dtype
+    tp = h_s.shape[0]
+    # Every non-attention stage is row-tiled: a full-width (Tp, D) f32
+    # intermediate is 2.4 MB for whisper-tiny and Mosaic stacks them — the
+    # untiled kernel version exceeded the 16 MB VMEM budget at compile time.
+    block_r = min(512, tp)
+    n_r = tp // block_r
 
-    def proj(w_ref, a_ref, l_ref, s_ref, b_ref, scale=1.0):
-        y = _dot(h_s[...], w_ref[...])
-        y = y + _dot(_dot(h_s[...], a_ref[...]).astype(dt), l_ref[...])
-        y = y * s_ref[...].astype(jnp.float32)
-        y = y + b_ref[...].astype(jnp.float32)
+    def rows(i):
+        return pl.ds(i * block_r, block_r)
+
+    for ri in range(n_r):  # LN tiles
+        h_s[rows(ri), :] = _ln_f32(x_ref[0, rows(ri), :], g1_ref[...], bb1_ref[...])
+
+    def proj_tile(hb, w_ref, b_ref, has_bias, scale=1.0):
+        y = _dot(hb, w_ref[...])
+        if has_bias:
+            y = y + b_ref[...].astype(jnp.float32)
         return (y * scale).astype(dt)
 
-    q_s[...] = proj(wq_ref, aq_ref, lq_ref, sq_ref, bq_ref, scale=q_scale)
-    k_s[...] = proj(wk_ref, ak_ref, lk_ref, sk_ref, bk_ref)
-    v_s[...] = proj(wv_ref, av_ref, lv_ref, sv_ref, bv_ref)
+    for ri in range(n_r):
+        q_s[rows(ri), :] = proj_tile(h_s[rows(ri), :], wq_ref, bq_ref,
+                                     bias_flags[0], scale=q_scale)
+    for ri in range(n_r):
+        k_s[rows(ri), :] = proj_tile(h_s[rows(ri), :], wk_ref, bk_ref, bias_flags[1])
+    for ri in range(n_r):
+        # v overwrites h tile-locally (value computed before the store)
+        h_s[rows(ri), :] = proj_tile(h_s[rows(ri), :], wv_ref, bv_ref, bias_flags[2])
+    v_s = h_s
 
-    # attention per head / q-block; concatenated head outputs reuse h_s
-    tp, d = h_s.shape
+    # attention per head / q-block; head outputs accumulate in o_ref.
+    # Softmax is the VPU wall at long T (T^2 elements per head): exp runs at
+    # the compute dtype's lane rate, and the denominator divides the (bq, hd)
+    # OUTPUT of p @ v rather than the (bq, T) probability matrix — same math
+    # (matmul is linear in p), T/hd-fold fewer divisions.
+    d = h_s.shape[1]
     hd = d // n_heads
-    for hi in range(n_heads):
+    key_mask = jax.lax.broadcasted_iota(jnp.int32, (block_q, tp), 1) < t_valid
+    for hi in range(n_heads):  # head slices are static (lane-aligned offsets)
         kh = k_s[:, hi * hd:(hi + 1) * hd]
         vh = v_s[:, hi * hd:(hi + 1) * hd]
-        for qi in range(tp // block_q):
+
+        def q_block(qi, _):
+            # fori_loop (not an unrolled python loop): Mosaic allocates the
+            # softmax temps ONCE for the loop body — unrolled, the per-block
+            # f32 score/exp temps stack up and blow the 16 MB VMEM budget
             qb = q_s[pl.ds(qi * block_q, block_q), hi * hd:(hi + 1) * hd]
+            if ablate == "noattn":
+                o_ref[0, pl.ds(qi * block_q, block_q), hi * hd:(hi + 1) * hd] = qb
+                return 0
             scores = jax.lax.dot_general(
                 qb, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            key_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = jnp.where(key_ids < t_valid, scores, -jnp.inf)
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            p = jnp.exp(scores - m)
-            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(dt)
-            h_s[pl.ds(qi * block_q, block_q), hi * hd:(hi + 1) * hd] = (
-                _dot(p, vh).astype(dt))
+            if ablate == "nosoftmax":
+                p = scores.astype(dt)
+                denom = 1.0
+            else:
+                scores = jnp.where(key_mask, scores, -jnp.inf)
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp((scores - m).astype(dt))
+                denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            o = _dot(p, vh) / denom
+            o_ref[0, pl.ds(qi * block_q, block_q), hi * hd:(hi + 1) * hd] = o.astype(dt)
+            return 0
 
-    # o-projection + residual -> x1 (kept in o_ref)
-    y = _dot(h_s[...], wo_ref[...])
-    y = y + _dot(_dot(h_s[...], ao_ref[...]).astype(dt), lo_ref[...])
-    y = y * so_ref[...].astype(jnp.float32) + bo_ref[...].astype(jnp.float32)
-    o_ref[0] = x + y.astype(dt)
+        jax.lax.fori_loop(0, tp // block_q, q_block, 0)
 
-    # LN2 + MLP + residual, row-blocked to bound the (block_f, F) activation
-    h2 = _ln_f32(o_ref[0], g2_ref[...], bb2_ref[...])
-    q_s[...] = h2  # reuse
-    for fi in range(tp // block_f):
-        hb = q_s[pl.ds(fi * block_f, block_f), :]
-        a1 = _dot(hb, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
-        a1 = jax.nn.gelu(a1, approximate=approx).astype(dt)
-        yb = _dot(a1, w2_ref[...]) + b2_ref[...].astype(jnp.float32)
-        o_ref[0, pl.ds(fi * block_f, block_f), :] = (
-            o_ref[0, pl.ds(fi * block_f, block_f), :] + yb.astype(dt))
+    # o-projection + residual -> x1 overwrites the accumulated heads (the
+    # o-proj is row-wise, so tile-local read-modify-write is safe)
+    for ri in range(n_r):
+        att = o_ref[0, rows(ri), :]
+        y = proj_tile(att, wo_ref, bo_ref, bias_flags[3])
+        o_ref[0, rows(ri), :] = x_ref[0, rows(ri), :] + y
 
 
-def _effective_proj(p_entry, adapter, d_model: int, dtype, r_pad: int):
-    """(w, a, b_scaled, colscale, bias) with DoRA folded into a column scale
-    and s folded into B; identity (zero A/B, unit scale) when no adapter."""
-    w = p_entry["w"]
-    d_in, d_out = w.shape
+def _effective_proj(p_entry, adapter, dtype):
+    """((w_eff, bias), has_bias): the DENSE effective projection weight with
+    DoRA folded in — W_eff = colscale ⊙ (W0 + s·A@B), colscale =
+    m/||W0 + s·A@B|| (stop-gradient, per the DoRA paper). Materializing
+    W_eff costs O(r·d²) outside the kernel and is (d,d) small; gradients
+    never flow through this path (custom_vjp backward uses the reference
+    math), so the fused-DoRA factorization only matters for training."""
+    w = p_entry["w"].astype(jnp.float32)
     bias = p_entry.get("b")
+    has_bias = bias is not None
     if bias is None:
-        bias = jnp.zeros((d_out,), jnp.float32)
-    if adapter is None:
-        a = jnp.zeros((d_in, r_pad), dtype)
-        b = jnp.zeros((r_pad, d_out), dtype)
-        scale = jnp.ones((d_out,), jnp.float32)
-        return w.astype(dtype), a, b, scale, bias
-    s = adapter.get("scaling", 1.0)
-    a = adapter["a"]
-    b = adapter["b"] * jnp.asarray(s, adapter["b"].dtype)
-    if a.shape[1] < r_pad:
-        a = jnp.pad(a, ((0, 0), (0, r_pad - a.shape[1])))
-        b = jnp.pad(b, ((0, r_pad - b.shape[0]), (0, 0)))
-    if "m" in adapter:
-        norms = jax.lax.stop_gradient(
-            dora_row_norms(p_entry["w"], adapter["a"], adapter["b"], s))
-        scale = adapter["m"].astype(jnp.float32) / norms
+        bias = jnp.zeros((w.shape[1],), jnp.float32)
+    if adapter is not None:
+        s = adapter.get("scaling", 1.0)
+        w_eff = w + jnp.asarray(s, jnp.float32) * (
+            adapter["a"].astype(jnp.float32) @ adapter["b"].astype(jnp.float32))
+        if "m" in adapter:
+            norms = jax.lax.stop_gradient(
+                dora_row_norms(p_entry["w"], adapter["a"], adapter["b"], s))
+            w_eff = w_eff * (adapter["m"].astype(jnp.float32) / norms)
     else:
-        scale = jnp.ones((d_out,), jnp.float32)
-    return w.astype(dtype), a.astype(dtype), b.astype(dtype), scale, bias
+        w_eff = w
+    return (w_eff.astype(dtype), bias), has_bias
 
 
 def _reference_block(x, p, adapters, n_heads: int, approx: bool):
@@ -172,50 +191,57 @@ def _reference_block(x, p, adapters, n_heads: int, approx: bool):
     return x1 + prj("fc2", h2.astype(x.dtype))
 
 
-def _fused_impl(x, p, adapters, n_heads, approx, interpret):
+def _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q=128, block_f=256):
     B, T, D = x.shape
     dt = x.dtype
     ad = adapters or {}
-    r_pad = max([8] + [ad[k]["a"].shape[1] for k in ad])
     tp = -(-T // 128) * 128
-    block_q = min(256, tp)
-    block_f = min(256, tp)
+    block_q = min(block_q, tp)
+    block_f = min(block_f, tp)
     xp = jnp.pad(x, ((0, 0), (0, tp - T), (0, 0))) if tp != T else x
 
     flat = [xp, p["attn_ln"]["g"], p["attn_ln"]["b"]]
+    bias_flags = []
     for name in ("q", "k", "v", "o"):
-        flat.extend(_effective_proj(p[name], ad.get(name), D, dt, r_pad))
-    flat.extend([
-        p["mlp_ln"]["g"], p["mlp_ln"]["b"],
-        p["fc1"]["w"].astype(dt), p["fc1"]["b"],
-        p["fc2"]["w"].astype(dt), p["fc2"]["b"],
-    ])
+        tensors, has_bias = _effective_proj(p[name], ad.get(name), dt)
+        flat.extend(tensors)
+        bias_flags.append(has_bias)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim)
     in_specs = [pl.BlockSpec((1, tp, D), lambda b: (b, 0, 0))] + [full(a) for a in flat[1:]]
-    out = pl.pallas_call(
+    x1 = pl.pallas_call(
         functools.partial(
-            _block_kernel, n_heads=n_heads, t_valid=T, block_q=block_q,
-            block_f=block_f, q_scale=(D // n_heads) ** -0.5, approx=approx),
+            _attn_block_kernel, n_heads=n_heads, t_valid=T, block_q=block_q,
+            q_scale=(D // n_heads) ** -0.5, bias_flags=tuple(bias_flags),
+            ablate=__import__("os").environ.get("GWKIT_FUSED_ABLATE", "")),
         out_shape=jax.ShapeDtypeStruct((B, tp, D), dt),
         grid=(B,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tp, D), lambda b: (b, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((tp, D), dt) for _ in range(4)],
+        scratch_shapes=[pltpu.VMEM((tp, D), dt) for _ in range(3)],
         interpret=interpret,
     )(*flat)
+    # MLP half: the standalone fused LN+MLP+residual kernel (token-tiled, so
+    # its VMEM stays small; one x1 round trip between the two kernels)
+    out = _fused_mlp_impl(
+        x1, p["mlp_ln"]["g"], p["mlp_ln"]["b"],
+        p["fc1"]["w"].astype(dt), p["fc1"]["b"],
+        p["fc2"]["w"].astype(dt), p["fc2"]["b"],
+        block_t=block_f, interpret=interpret, approx=approx,
+    )
     return out[:, :T]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _fused_vjp(x, p, adapters, n_heads, approx, interpret):
-    return _fused_impl(x, p, adapters, n_heads, approx, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused_vjp(x, p, adapters, n_heads, approx, interpret, block_q, block_f):
+    return _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q, block_f)
 
 
-def _fused_fwd(x, p, adapters, n_heads, approx, interpret):
-    return _fused_impl(x, p, adapters, n_heads, approx, interpret), (x, p, adapters)
+def _fused_fwd(x, p, adapters, n_heads, approx, interpret, block_q, block_f):
+    return (_fused_impl(x, p, adapters, n_heads, approx, interpret, block_q, block_f),
+            (x, p, adapters))
 
 
-def _fused_bwd(n_heads, approx, interpret, res, g):
+def _fused_bwd(n_heads, approx, interpret, block_q, block_f, res, g):
     x, p, adapters = res
     _, vjp = jax.vjp(
         lambda xx, pp, aa: _reference_block(xx, pp, aa, n_heads, approx),
@@ -233,10 +259,14 @@ def fused_encoder_block(
     adapters: Optional[Any] = None,
     approx: bool = False,
     interpret: bool = False,
+    block_q: int = 128,
+    block_f: int = 256,
 ) -> jnp.ndarray:
     """One whole pre-LN transformer block, fused: x (B, T, D) -> (B, T, D).
 
     ``p``: per-layer param dict (attn_ln, q, k, v, o, mlp_ln, fc1, fc2);
-    ``adapters``: optional per-layer DoRA/LoRA dict keyed by projection.
+    ``adapters``: optional per-layer DoRA/LoRA dict keyed by projection;
+    ``block_q``/``block_f``: attention-score / MLP row-tile sizes (VMEM
+    knobs — 256 fits every geometry; 512 trades VMEM for fewer loop trips).
     """
-    return _fused_vjp(x, p, adapters, n_heads, approx, interpret)
+    return _fused_vjp(x, p, adapters, n_heads, approx, interpret, block_q, block_f)

@@ -34,7 +34,10 @@ def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, a
     h = jax.lax.dot_general(h, w1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     h = h + b1_ref[...].astype(jnp.float32)
-    h = jax.nn.gelu(h, approximate=approx).astype(x.dtype)
+    # GELU at the compute dtype: the (bt, F) tanh/erf pass is the kernel's
+    # VPU wall (~1.6 ms/layer at B=64, T=1536 in f32); bf16 halves it at
+    # ~1e-3 activation error (the bf16 matmul path dominates that anyway)
+    h = jax.nn.gelu(h.astype(x.dtype), approximate=approx)
     y = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = y + b2_ref[...].astype(jnp.float32)

@@ -181,12 +181,15 @@ def build_mlgwsc(
     num_classes: int = 2,
     encoder_params=None,
     usr: bool = False,
+    full_finetune: bool = False,
     **enc_overrides,
 ) -> Task:
     """GWWhisperClassifier: Q-adapter -> encoder per detector -> softmax head.
 
     ``usr=True`` removes the softmax (unbounded-score mode,
-    inference.py:395-400) — used at search time.
+    inference.py:395-400) — used at search time. ``full_finetune=True``
+    moves the encoder into the trainable pytree with no adapters (ablation
+    arm; the reference recipe is adapters-only, train.py:496-504).
     """
     enc_cfg = encoder if isinstance(encoder, WhisperConfig) else config_for(encoder, **enc_overrides)
     cfg = ClassifierConfig(
@@ -196,8 +199,12 @@ def build_mlgwsc(
     k_q, k_rest = jax.random.split(key)
     frozen_enc, adapters, head = _split_trainable(k_rest, enc_cfg, acfg, cfg, encoder_params)
     qadapter = init_qadapter(k_q, qcfg)
-    frozen = {"encoder": frozen_enc}
-    trainable = {"adapters": adapters, "head": head, "qadapter": qadapter}
+    if full_finetune:
+        frozen = {}
+        trainable = {"encoder": frozen_enc, "head": head, "qadapter": qadapter}
+    else:
+        frozen = {"encoder": frozen_enc}
+        trainable = {"adapters": adapters, "head": head, "qadapter": qadapter}
 
     def forward(trainable, frozen, strain):
         """strain (B, D, T@2048) -> probs/logits (B, num_classes).
@@ -211,7 +218,8 @@ def build_mlgwsc(
         D = qcfg.n_detectors
         feats = qadapter_apply(qcfg, trainable["qadapter"], strain)  # (B,D,80,3000)
         folded = feats.reshape(B * D, *feats.shape[2:])
-        emb = encode_embedding(cfg, frozen["encoder"], folded, trainable["adapters"])
+        enc = trainable["encoder"] if full_finetune else frozen["encoder"]
+        emb = encode_embedding(cfg, enc, folded, trainable.get("adapters"))
         emb = emb.reshape(B, D * emb.shape[-1])
         return mlp_head_apply(trainable["head"], emb, softmax=cfg.softmax)
 

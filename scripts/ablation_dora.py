@@ -1,0 +1,211 @@
+"""DoRA-transfer ablation (VERDICT item 3): InfoNCE-pretrain the encoder on
+the synthetic GW corpus, then compare on MLGWSC + glitch classification:
+
+  dora_pre  — DoRA fine-tune (~0.5% params) on the InfoNCE-pretrained encoder
+  dora_rand — DoRA fine-tune on a randomly initialized encoder
+  full_rand — full fine-tune from random init
+  full_pre  — full fine-tune on the pretrained encoder
+
+This is the zero-egress analogue of the reference's headline recipe
+("pretrained Whisper + DoRA at ~0.5% of parameters", README.md:3 and
+MLGWSC-1/train.py:884-920): speech-pretrained weights are not downloadable
+here, so the transfer story is proven with a self-pretrained encoder.
+
+Writes docs/results/ablation_dora.md plus refreshed glitch artifacts
+(classification report / confusion matrix) for the best DoRA run.
+
+Env: ABL_OUT, ABL_CORPUS (defaults to the e2e IMRPhenomD corpus if present),
+ABL_PRETRAIN_STEPS (1500), ABL_MLGWSC_EPOCHS (10), ABL_GLITCH_EPOCHS (25),
+ABL_GLITCH_PER_CLASS (700), ABL_TARGET (3000 — reference-parity geometry).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import h5py
+    import jax
+    import jax.numpy as jnp
+
+    from gwkit.data.datasets import InjectionDataset
+    from gwkit.data.generate import generate_training_set
+    from gwkit.data.glitch import GLITCH_CLASSES, LabeledDataset, synthetic_glitch_dataset
+    from gwkit.models.adapters import AdapterConfig, n_trainable
+    from gwkit.models.qadapter import QAdapterConfig
+    from gwkit.models.whisper import config_for
+    from gwkit.train.metrics import classification_report, confusion_matrix, f1_scores, roc_auc
+    from gwkit.train.pretrain import ContrastivePretrainer
+    from gwkit.train.tasks import build_glitch, build_mlgwsc
+    from gwkit.train.trainer import TrainConfig, Trainer
+
+    out = os.environ.get("ABL_OUT", "/tmp/ablation")
+    corpus = os.environ.get("ABL_CORPUS", "/tmp/e2e_imrd/train.hdf")
+    pretrain_steps = int(os.environ.get("ABL_PRETRAIN_STEPS", "1500"))
+    mlgwsc_epochs = int(os.environ.get("ABL_MLGWSC_EPOCHS", "10"))
+    glitch_epochs = int(os.environ.get("ABL_GLITCH_EPOCHS", "25"))
+    per_class = int(os.environ.get("ABL_GLITCH_PER_CLASS", "700"))
+    target = int(os.environ.get("ABL_TARGET", "3000"))
+    os.makedirs(out, exist_ok=True)
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    enc = config_for("tiny", compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+                     use_flash_attention=on_tpu, fused_block=on_tpu, remat=True,
+                     gelu_approx=on_tpu, max_positions=target // 2)
+    qcfg = QAdapterConfig(median_stride=8, target_shape=(80, target))
+    acfg = AdapterConfig(r=8, alpha=32, use_dora=True, targets="qkvo")
+
+    if not os.path.isfile(corpus):
+        corpus = os.path.join(out, "train.hdf")
+        if not os.path.isfile(corpus):
+            generate_training_set(corpus, n_train=6144, n_valid=1536, seed=3,
+                                  wave_duration=16.0)
+    with h5py.File(corpus) as f:
+        train_ds = InjectionDataset.load(f, "training", snr_range=(7.0, 20.0))
+        valid_ds = InjectionDataset.load(f, "validation", snr_range=(7.0, 20.0))
+    print(f"corpus: {corpus} ({len(train_ds.labels) if hasattr(train_ds, 'labels') else 'n/a'})",
+          flush=True)
+
+    # ---- 1. InfoNCE pretraining (full encoder, reference parity) ----
+    t0 = time.time()
+    pre_task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc, acfg=acfg, qcfg=qcfg)
+    pre = ContrastivePretrainer(pre_task, lr=1e-4, temperature=0.1,
+                                train_full_encoder=True, seed=0)
+    pre.train(np.asarray(train_ds.noises), np.asarray(train_ds.waveforms),
+              steps=pretrain_steps, batch_size=32, snr_range=(7.0, 20.0),
+              outdir=out, log_every=200)
+    pretrained_enc = jax.tree.map(np.asarray, pre_task.frozen["encoder"])
+    print(f"pretrained in {time.time()-t0:.0f}s", flush=True)
+
+    results = {}
+
+    # ---- 2. MLGWSC variants ----
+    def run_mlgwsc(name, encoder_params, full_finetune):
+        task = build_mlgwsc(jax.random.PRNGKey(1), encoder=enc, acfg=acfg, qcfg=qcfg,
+                            encoder_params=encoder_params, full_finetune=full_finetune)
+        n_tr = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(task.trainable))
+        n_all = n_tr + sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(task.frozen))
+        best = [-1.0]
+
+        def cb(epoch, trainable, val_aux):
+            scores = np.concatenate([a["scores"] for a in val_aux])
+            labels = np.concatenate([a["labels"] for a in val_aux])
+            auc = roc_auc(labels, scores)
+            best[0] = max(best[0], auc)
+            print(f"[mlgwsc/{name}] epoch {epoch:04d}: val AUC {auc:.4f}", flush=True)
+            return {"val_auc": auc}
+
+        trainer = Trainer(task.loss_fn, task.trainable, task.frozen,
+                          TrainConfig(learning_rate=3e-4 if not full_finetune else 1e-4,
+                                      clip_norm=100.0, epochs=mlgwsc_epochs,
+                                      batch_size=64, early_stop_patience=mlgwsc_epochs,
+                                      optimizer="adam"))
+        t = time.time()
+        trainer.fit(lambda k: train_ds.batches(k, 64),
+                    lambda k: valid_ds.batches(k, 64, shuffle=False),
+                    outdir=os.path.join(out, f"mlgwsc_{name}"), force=True,
+                    eval_callback=cb)
+        results[f"mlgwsc/{name}"] = dict(metric="val AUC", best=best[0],
+                                         trainable=n_tr, frac=n_tr / n_all,
+                                         secs=time.time() - t)
+
+    run_mlgwsc("dora_pre", pretrained_enc, False)
+    run_mlgwsc("dora_rand", None, False)
+    run_mlgwsc("full_rand", None, True)
+    run_mlgwsc("full_pre", pretrained_enc, True)
+
+    # ---- 3. Glitch variants ----
+    strain, labels = synthetic_glitch_dataset(per_class, seed=5)
+    n_valid = len(labels) // 5
+    g_train = LabeledDataset(strain[n_valid:], labels[n_valid:])
+    g_valid = LabeledDataset(strain[:n_valid], labels[:n_valid])
+
+    def run_glitch(name, encoder_params, full_finetune, write_artifacts=False):
+        task = build_glitch(jax.random.PRNGKey(2), encoder=enc, acfg=acfg,
+                            encoder_params=encoder_params, full_finetune=full_finetune,
+                            n_frames=target)
+        n_tr = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(task.trainable))
+        n_all = n_tr + sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(task.frozen))
+        best = [-1.0, -1.0]  # acc, macro f1
+
+        def cb(epoch, trainable, val_aux):
+            logits = np.concatenate([a["logits"] for a in val_aux])
+            ys = np.concatenate([a["labels"] for a in val_aux])
+            preds = logits.argmax(-1)
+            cm = confusion_matrix(ys, preds, 11)
+            stats = f1_scores(cm)
+            print(f"[glitch/{name}] epoch {epoch:04d}: acc {stats['accuracy']:.4f} "
+                  f"macroF1 {stats['macro_f1']:.4f}", flush=True)
+            if stats["macro_f1"] > best[1]:
+                best[0], best[1] = stats["accuracy"], stats["macro_f1"]
+                if write_artifacts:
+                    gdir = os.path.join(REPO, "docs", "results", "glitch")
+                    os.makedirs(gdir, exist_ok=True)
+                    with open(os.path.join(gdir, "classification_report_best.txt"), "w") as f:
+                        f.write(f"recipe {name} (DoRA r=8 a=32 qkvo, InfoNCE-pretrained encoder)\n"
+                                f"best epoch {epoch:04d}\n\n"
+                                + classification_report(ys, preds, GLITCH_CLASSES))
+                    np.savetxt(os.path.join(gdir, "confusion_matrix_best.txt"), cm, fmt="%d")
+                    try:
+                        from gwkit.utils.plotting import plot_confusion_matrix
+
+                        plot_confusion_matrix(cm, GLITCH_CLASSES,
+                                              os.path.join(gdir, "confusion_matrix_best.png"))
+                    except Exception:
+                        pass
+            return {"val_accuracy": stats["accuracy"], "val_macro_f1": stats["macro_f1"]}
+
+        trainer = Trainer(task.loss_fn, task.trainable, task.frozen,
+                          TrainConfig(learning_rate=3e-4 if not full_finetune else 1e-5,
+                                      epochs=glitch_epochs, batch_size=64,
+                                      early_stop_patience=glitch_epochs,
+                                      optimizer="adamw", clip_norm=0.0))
+        t = time.time()
+        trainer.fit(lambda k: g_train.batches(k, 64),
+                    lambda k: g_valid.batches(k, 64, shuffle=False, drop_remainder=False),
+                    outdir=os.path.join(out, f"glitch_{name}"), force=True,
+                    eval_callback=cb)
+        results[f"glitch/{name}"] = dict(metric="val acc / macroF1",
+                                         best=f"{best[0]:.4f} / {best[1]:.4f}",
+                                         trainable=n_tr, frac=n_tr / n_all,
+                                         secs=time.time() - t)
+
+    run_glitch("dora_pre", pretrained_enc, False, write_artifacts=True)
+    run_glitch("dora_rand", None, False)
+    run_glitch("full_rand", None, True)
+    run_glitch("full_pre", pretrained_enc, True)
+
+    # ---- 4. report ----
+    lines = [
+        "# DoRA-transfer ablation (round 2)",
+        "",
+        f"InfoNCE pretraining: {pretrain_steps} steps (B=32, temp 0.1, full encoder",
+        "trainable — MLGWSC-1/train.py:884-920 parity) on the IMRPhenomD corpus;",
+        f"MLGWSC fine-tune {mlgwsc_epochs} epochs; glitch {glitch_epochs} epochs,",
+        f"{per_class}/class synthetic Gravity Spy corpus; geometry (80,{target}).",
+        "Zero-egress substitute for the reference's speech-pretrained Whisper",
+        "(README.md:3): the pretrained encoder here is self-pretrained on GW data.",
+        "",
+        "| task/recipe | best | trainable params | fraction | train s |",
+        "|---|---|---|---|---|",
+    ]
+    for key, r in results.items():
+        b = r["best"] if isinstance(r["best"], str) else f"{r['best']:.4f}"
+        lines.append(f"| {key} | {b} ({r['metric']}) | {r['trainable']:,} "
+                     f"| {100*r['frac']:.2f}% | {r['secs']:.0f} |")
+    report = "\n".join(lines) + "\n"
+    path = os.path.join(REPO, "docs", "results", "ablation_dora.md")
+    with open(path, "w") as f:
+        f.write(report)
+    print(report)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

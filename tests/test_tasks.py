@@ -100,3 +100,18 @@ def test_mlgwsc_detector_fold_matches_loop(rng):
     emb = jnp.concatenate(embs, axis=-1)
     looped = np.asarray(mlp_head_apply(task.trainable["head"], emb, softmax=True))
     np.testing.assert_allclose(folded, looped, rtol=1e-5, atol=1e-6)
+
+
+def test_mlgwsc_full_finetune_arm(rng):
+    """full_finetune=True moves the encoder into the trainable pytree (no
+    adapters) and trains with finite grads — the ablation's comparison arm."""
+    from gwkit.models.qadapter import QAdapterConfig
+
+    qcfg = QAdapterConfig(spectrogram_shape=(32, 32), target_shape=(80, 128), channels=(4, 8, 8))
+    task = build_mlgwsc(jax.random.PRNGKey(0), encoder=ENC, acfg=ACFG, qcfg=qcfg,
+                        full_finetune=True)
+    assert "encoder" in task.trainable and "adapters" not in task.trainable
+    assert task.frozen == {}
+    x = jnp.asarray(rng.normal(size=(2, 2, 2048)).astype(np.float32))
+    y = jnp.asarray(np.eye(2, dtype=np.float32))
+    _grads_finite(task, (x, y), jax.random.PRNGKey(1))
