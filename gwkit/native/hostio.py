@@ -46,6 +46,11 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.loader_next.restype = ctypes.c_long
     lib.loader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.prefetch_create.restype = ctypes.c_void_p
+    lib.prefetch_create.argtypes = [ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_int]
+    lib.prefetch_wait.restype = ctypes.c_long
+    lib.prefetch_wait.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.prefetch_destroy.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -118,6 +123,61 @@ class ChunkLoader:
             self.close()
         except Exception:
             pass
+
+
+class ArrayPrefetch:
+    """Whole-array C++ background read of a contiguous on-disk f64/f32 array.
+
+    The read runs entirely in a C++ thread (no GIL); ``wait()`` blocks (GIL
+    released during the ctypes call) and returns the f32 array. Used by the
+    search engine to read segment i+1 while the device scores segment i."""
+
+    def __init__(self, path: str, offset_bytes: int, shape, on_disk_f64: bool):
+        lib = _get()
+        if lib is None:
+            raise RuntimeError("native hostio unavailable")
+        self._lib = lib
+        self._shape = tuple(shape)
+        self._n = int(np.prod(shape))
+        self._handle = lib.prefetch_create(
+            path.encode(), int(offset_bytes), self._n, 0 if on_disk_f64 else 1)
+        if not self._handle:
+            raise IOError(f"prefetch_create failed for {path}")
+
+    def wait(self) -> np.ndarray:
+        out = np.empty(self._n, np.float32)
+        got = self._lib.prefetch_wait(self._handle, out.ctypes.data)
+        self.close()
+        if got != self._n:
+            raise IOError(f"prefetch read {got}/{self._n} elements")
+        return out.reshape(self._shape)
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.prefetch_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def dataset_prefetch_meta(dataset) -> Optional[tuple]:
+    """(offset_bytes, shape, on_disk_f64) when the dataset is contiguous,
+    uncompressed f64/f32 — i.e. native-prefetchable; else None."""
+    try:
+        offset = dataset.id.get_offset()
+    except Exception:
+        return None
+    if offset is None or dataset.compression is not None:
+        return None
+    if dataset.dtype == np.float64:
+        return int(offset), tuple(dataset.shape), True
+    if dataset.dtype == np.float32:
+        return int(offset), tuple(dataset.shape), False
+    return None
 
 
 def read_contiguous_dataset(path: str, dataset, chunk_elems: int = 1 << 22) -> Optional[np.ndarray]:

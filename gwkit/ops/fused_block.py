@@ -63,9 +63,11 @@ def _attn_block_kernel(
     # measured ~1.5 ms/layer of pure MXU-underfill overhead.
     x_ref, g1_ref, bb1_ref,
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    g2_ref, bb2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref, h_s, q_s, k_s,
-    *, n_heads: int, t_valid: int, block_q: int,
-    q_scale: float, bias_flags: tuple, ablate: str = "",
+    *, n_heads: int, t_valid: int, block_q: int, block_f: int,
+    q_scale: float, bias_flags: tuple, approx: bool, skip_mlp: bool = False,
+    ablate: str = "",
 ):
     dt = x_ref.dtype
     tp = h_s.shape[0]
@@ -140,6 +142,22 @@ def _attn_block_kernel(
         y = proj_tile(att, wo_ref, bo_ref, bias_flags[3])
         o_ref[0, rows(ri), :] = x_ref[0, rows(ri), :] + y
 
+    if skip_mlp:
+        return
+    # LN2 + MLP + residual in the same kernel (mega mode: saves the x1 HBM
+    # round trip between the attention and MLP kernels, ~5% end to end).
+    # fori_loop, not an unrolled range: temps allocate once.
+    def mlp_tile(fi, _):
+        sl = pl.ds(fi * block_f, block_f)
+        hb = _ln_f32(o_ref[0, sl, :], g2_ref[...], bb2_ref[...])
+        a1 = _dot(hb, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
+        a1 = jax.nn.gelu(a1.astype(dt), approximate=approx)
+        yb = _dot(a1, w2_ref[...]) + b2_ref[...].astype(jnp.float32)
+        o_ref[0, sl, :] = o_ref[0, sl, :] + yb.astype(dt)
+        return 0
+
+    jax.lax.fori_loop(0, tp // block_f, mlp_tile, 0)
+
 
 def _effective_proj(p_entry, adapter, dtype):
     """((w_eff, bias), has_bias): the DENSE effective projection weight with
@@ -206,12 +224,23 @@ def _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q=128, block_f
         tensors, has_bias = _effective_proj(p[name], ad.get(name), dt)
         flat.extend(tensors)
         bias_flags.append(has_bias)
+    F = p["fc1"]["w"].shape[1]
+    flat.extend([
+        p["mlp_ln"]["g"], p["mlp_ln"]["b"],
+        p["fc1"]["w"].astype(dt), p["fc1"]["b"],
+        p["fc2"]["w"].astype(dt), p["fc2"]["b"],
+    ])
     full = lambda arr: pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim)
     in_specs = [pl.BlockSpec((1, tp, D), lambda b: (b, 0, 0))] + [full(a) for a in flat[1:]]
-    x1 = pl.pallas_call(
+    db = jnp.dtype(dt).itemsize
+    # VMEM estimate for the single whole-block kernel: double-buffered x/out
+    # blocks, 3 scratches, resident weights, and ~4 MB of softmax/MLP temps.
+    vmem_est = (4 + 3) * tp * D * db + (4 * D * D + 2 * D * F) * db + 4 * (1 << 20)
+    out = pl.pallas_call(
         functools.partial(
             _attn_block_kernel, n_heads=n_heads, t_valid=T, block_q=block_q,
-            q_scale=(D // n_heads) ** -0.5, bias_flags=tuple(bias_flags),
+            block_f=block_f, q_scale=(D // n_heads) ** -0.5,
+            bias_flags=tuple(bias_flags), approx=approx,
             ablate=__import__("os").environ.get("GWKIT_FUSED_ABLATE", "")),
         out_shape=jax.ShapeDtypeStruct((B, tp, D), dt),
         grid=(B,),
@@ -219,15 +248,29 @@ def _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q=128, block_f
         out_specs=pl.BlockSpec((1, tp, D), lambda b: (b, 0, 0)),
         scratch_shapes=[pltpu.VMEM((tp, D), dt) for _ in range(3)],
         interpret=interpret,
-    )(*flat)
-    # MLP half: the standalone fused LN+MLP+residual kernel (token-tiled, so
-    # its VMEM stays small; one x1 round trip between the two kernels)
-    out = _fused_mlp_impl(
-        x1, p["mlp_ln"]["g"], p["mlp_ln"]["b"],
-        p["fc1"]["w"].astype(dt), p["fc1"]["b"],
-        p["fc2"]["w"].astype(dt), p["fc2"]["b"],
-        block_t=block_f, interpret=interpret, approx=approx,
-    )
+    )(*flat) if vmem_est <= 16 * (1 << 20) else None
+    if out is None:
+        # big geometries (whisper-base+ at T=1500) exceed VMEM in one kernel:
+        # run the attention block alone, then the token-tiled MLP kernel
+        x1 = pl.pallas_call(
+            functools.partial(
+                _attn_block_kernel, n_heads=n_heads, t_valid=T, block_q=block_q,
+                block_f=block_f, q_scale=(D // n_heads) ** -0.5,
+                bias_flags=tuple(bias_flags), approx=approx, skip_mlp=True,
+                ablate=__import__("os").environ.get("GWKIT_FUSED_ABLATE", "")),
+            out_shape=jax.ShapeDtypeStruct((B, tp, D), dt),
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, tp, D), lambda b: (b, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((tp, D), dt) for _ in range(3)],
+            interpret=interpret,
+        )(*flat)
+        out = _fused_mlp_impl(
+            x1, p["mlp_ln"]["g"], p["mlp_ln"]["b"],
+            p["fc1"]["w"].astype(dt), p["fc1"]["b"],
+            p["fc2"]["w"].astype(dt), p["fc2"]["b"],
+            block_t=block_f, interpret=interpret, approx=approx,
+        )
     return out[:, :T]
 
 

@@ -131,16 +131,19 @@ def get_triggers(
     low_frequency_cutoff: float = 20.0,
     batch_size: int = 256,
     verbose: bool = False,
-    stream: bool = False,
+    stream: Optional[bool] = None,
     shard_dir: Optional[str] = None,
 ) -> Tuple[Dict[str, List[List[float]]], np.ndarray, SearchResult]:
     """Full reference get_triggers flow on a gwkit Task (usually mlgwsc, USR).
 
-    ``stream=True`` overlaps the next segment's disk read with scoring via
-    a prefetch thread (identical outputs). Only worth it on multi-core
-    hosts with many segments: on a single-core host the reader thread
-    contends with the batch-dispatch loop and measures strictly slower
-    (80.8 s vs 49.7 s on the 2 h demo file), so eager reads are the default.
+    ``stream``: None (default) auto-selects — segments stream with the C++
+    whole-array prefetcher (gwkit.native.hostio.ArrayPrefetch: segment i+1
+    is read by a C++ thread, zero GIL contention, while the device scores
+    segment i) whenever the file's datasets are contiguous uncompressed
+    f64/f32; otherwise everything is read eagerly up front. ``stream=True``
+    forces streaming (falling back to a Python h5py reader thread for
+    non-native files — measured slower on single-core hosts), ``False``
+    forces eager reads. Outputs are identical in all modes.
 
     Multi-host: under ``jax.distributed`` (process_count > 1) each host
     scores a round-robin share of the segments and the per-segment trigger
@@ -155,6 +158,10 @@ def get_triggers(
         out = task.forward(trainable, frozen, windows)
         return out[:, 0]
 
+    if stream is None:
+        from gwkit.search.slicer import native_streamable
+
+        stream = native_streamable(inputfile)
     segments = stream_segments(inputfile) if stream else read_segments(inputfile)
     n_proc = jax.process_count()
     if n_proc > 1:

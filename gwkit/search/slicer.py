@@ -69,23 +69,65 @@ def read_segments(
     return segments
 
 
+def native_streamable(path: str, detectors: Optional[List[str]] = None) -> bool:
+    """True when every dataset of the file can go through the C++ prefetch
+    path (contiguous uncompressed f64/f32 and the native library builds)."""
+    from gwkit.native.hostio import available, dataset_prefetch_meta
+
+    if not available():
+        return False
+    with h5py.File(path, "r") as f:
+        dets = detectors or sorted(f.keys())
+        return all(
+            dataset_prefetch_meta(f[det][key]) is not None
+            for det in dets for key in f[dets[0]].keys()
+        )
+
+
 def stream_segments(
     path: str, detectors: Optional[List[str]] = None, prefetch: int = 1
 ) -> Iterator[Segment]:
-    """Yield the file's Segments longest-first while a background thread
-    reads ahead.
+    """Yield the file's Segments longest-first while the NEXT segment is read
+    ahead in the background.
 
-    The device needs no host CPU while it scores a segment, so the next
-    segment's disk read (the dominant host cost on slow/cold storage) hides
-    behind scoring. Same contents/order as :func:`read_segments`; only
-    metadata is touched up front.
+    Fast path: when every dataset is contiguous uncompressed f64/f32 and the
+    native library is built, segment i+1 is read by a C++ thread
+    (gwkit.native.hostio.ArrayPrefetch — zero GIL contention, f64->f32
+    converted in the reader) while the device scores segment i. Otherwise a
+    Python h5py reader thread provides the same contents/order.
     """
     import queue
     import threading
 
+    from gwkit.native.hostio import ArrayPrefetch, available, dataset_prefetch_meta
+
+    metas = []
     with h5py.File(path, "r") as f:
         dets = detectors or sorted(f.keys())
         keys = sorted(f[dets[0]].keys(), key=lambda k: f[dets[0]][k].shape[0], reverse=True)
+        for key in keys:
+            dss = [f[det][key] for det in dets]
+            start = dss[0].attrs["start_time"]
+            for ds in dss:
+                assert ds.attrs["start_time"] == start
+            metas.append((key, float(start), float(dss[0].attrs["delta_t"]),
+                          [dataset_prefetch_meta(ds) for ds in dss]))
+
+    if available() and all(m is not None for _, _, _, ms in metas for m in ms):
+        inflight = {}
+
+        def issue(idx):
+            inflight[idx] = [ArrayPrefetch(path, *m) for m in metas[idx][3]]
+
+        if metas:
+            issue(0)
+        for i, (key, start, delta_t, _) in enumerate(metas):
+            for j in range(i + 1, min(i + 1 + max(1, prefetch), len(metas))):
+                if j not in inflight:
+                    issue(j)
+            rows = [p.wait() for p in inflight.pop(i)]
+            yield Segment(key=key, strain=np.stack(rows), start_time=start, delta_t=delta_t)
+        return
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
 

@@ -20,6 +20,7 @@
 #include <cstdio>
 #include <cstring>
 #include <mutex>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -138,6 +139,70 @@ long loader_next(void* handle, float* dst) {
   }
   L->cv.notify_all();
   return got;
+}
+
+// ---------------------------------------------------------------------------
+// Whole-array prefetcher: read segment i+1 entirely in a C++ thread while
+// the device scores segment i. The Python thread never touches the file —
+// it calls prefetch_wait (GIL released during the ctypes call) and gets a
+// ready f32 array. Replaces the round-1 Python-thread prefetch that lost to
+// GIL contention on a single-core host (gwkit/search/engine.py history).
+// ---------------------------------------------------------------------------
+
+struct Prefetch {
+  std::thread worker;
+  std::vector<float> data;
+  long n = -1;  // -1 = error
+  bool joined = false;
+};
+
+void* prefetch_create(const char* path, long offset_bytes, long n_elems, int dtype) {
+  Prefetch* P = new Prefetch();
+  std::string p(path);
+  P->worker = std::thread([P, p, offset_bytes, n_elems, dtype] {
+    FILE* f = fopen(p.c_str(), "rb");
+    if (!f || fseek(f, offset_bytes, SEEK_SET) != 0) {
+      if (f) fclose(f);
+      P->n = -1;
+      return;
+    }
+    P->data.resize(n_elems);
+    long got;
+    if (dtype == 0) {
+      std::vector<double> tmp(1 << 22);
+      long pos = 0;
+      while (pos < n_elems) {
+        long want = n_elems - pos;
+        if (want > (long)tmp.size()) want = tmp.size();
+        long r = (long)fread(tmp.data(), sizeof(double), want, f);
+        if (r <= 0) break;
+        f64_to_f32(tmp.data(), P->data.data() + pos, r);
+        pos += r;
+      }
+      got = pos;
+    } else {
+      got = (long)fread(P->data.data(), sizeof(float), n_elems, f);
+    }
+    fclose(f);
+    P->n = (got == n_elems) ? got : -1;
+  });
+  return P;
+}
+
+long prefetch_wait(void* handle, float* dst) {
+  Prefetch* P = static_cast<Prefetch*>(handle);
+  if (!P) return -1;
+  if (!P->joined && P->worker.joinable()) P->worker.join();
+  P->joined = true;
+  if (P->n > 0 && dst) std::memcpy(dst, P->data.data(), sizeof(float) * P->n);
+  return P->n;
+}
+
+void prefetch_destroy(void* handle) {
+  Prefetch* P = static_cast<Prefetch*>(handle);
+  if (!P) return;
+  if (!P->joined && P->worker.joinable()) P->worker.join();
+  delete P;
 }
 
 void loader_destroy(void* handle) {

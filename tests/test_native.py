@@ -59,3 +59,46 @@ def test_read_contiguous_rejects_chunked(tmp_path, rng):
         f.create_dataset("H1", data=rng.normal(size=10_000), chunks=(1000,), compression="gzip")
     with h5py.File(path, "r") as f:
         assert read_contiguous_dataset(path, f["H1"]) is None
+
+
+@needs_native
+def test_array_prefetch_matches_direct_read(tmp_path, rng):
+    from gwkit.native.hostio import ArrayPrefetch, dataset_prefetch_meta
+
+    path = str(tmp_path / "seg.hdf")
+    d64 = rng.normal(size=(2, 30_000))
+    d32 = rng.normal(size=(2, 10_000)).astype(np.float32)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("A", data=d64)
+        f.create_dataset("B", data=d32)
+    with h5py.File(path, "r") as f:
+        ma = dataset_prefetch_meta(f["A"])
+        mb = dataset_prefetch_meta(f["B"])
+    assert ma is not None and ma[2] is True  # f64 on disk
+    assert mb is not None and mb[2] is False
+    pa, pb = ArrayPrefetch(path, *ma), ArrayPrefetch(path, *mb)
+    np.testing.assert_array_equal(pb.wait(), d32)  # waited out of issue order
+    np.testing.assert_array_equal(pa.wait(), d64.astype(np.float32))
+
+
+@needs_native
+def test_stream_segments_native_matches_eager(tmp_path, rng):
+    """The C++ prefetch streaming path yields byte-identical segments in the
+    same (longest-first) order as the eager reader."""
+    from gwkit.search.slicer import native_streamable, read_segments, stream_segments
+
+    path = str(tmp_path / "search.hdf")
+    with h5py.File(path, "w") as f:
+        for det in ("H1", "L1"):
+            g = f.create_group(det)
+            for i, n in enumerate((40_000, 90_000, 10_000)):
+                ds = g.create_dataset(f"seg{i}", data=rng.normal(size=n))
+                ds.attrs["start_time"] = 1000.0 * i
+                ds.attrs["delta_t"] = 1.0 / 2048
+    assert native_streamable(path)
+    eager = read_segments(path)
+    streamed = list(stream_segments(path))
+    assert [s.key for s in streamed] == [s.key for s in eager] == ["seg1", "seg0", "seg2"]
+    for a, b in zip(eager, streamed):
+        np.testing.assert_array_equal(a.strain, b.strain)
+        assert a.start_time == b.start_time and a.delta_t == b.delta_t
