@@ -27,6 +27,12 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--debug-triggers-file", type=str, default=None)
     p.add_argument("--debug-whitened-file", type=str, default=None)
+    p.add_argument("--shard-dir", type=str, default=None,
+                   help="Shared dir for the multi-host trigger gather "
+                        "(jax.distributed runs; see gwkit.parallel.distributed).")
+    p.add_argument("--stream", type=int, choices=[0, 1], default=None,
+                   help="Force segment streaming on/off (default: auto — C++ "
+                        "prefetch when the file supports it).")
     from gwkit.utils.config import parse_with_config
 
     return parse_with_config(p, argv)
@@ -93,6 +99,8 @@ def main(argv=None):
         step_size=args.step_size, trigger_threshold=args.trigger_threshold,
         white=args.white, whitened_file=args.debug_whitened_file,
         batch_size=args.batch_size, verbose=args.verbose,
+        stream=None if args.stream is None else bool(args.stream),
+        shard_dir=args.shard_dir,
     )
     print(f"Total slices above threshold {args.trigger_threshold:.3f}: "
           f"{sum(len(v) for v in triggers.values())}")

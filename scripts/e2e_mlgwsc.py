@@ -64,8 +64,8 @@ def main():
     # ---- 2. train ----
     on_tpu = jax.devices()[0].platform != "cpu"
     enc = config_for("tiny", compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-                     use_flash_attention=on_tpu, remat=True, gelu_approx=on_tpu,
-                     max_positions=target_frames // 2)
+                     use_flash_attention=on_tpu, fused_block=on_tpu, remat=True,
+                     gelu_approx=on_tpu, max_positions=target_frames // 2)
     qcfg = QAdapterConfig(median_stride=8, target_shape=(80, target_frames))
     task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc,
                         acfg=AdapterConfig(r=8, alpha=32, use_dora=True, targets="qkvo"),
