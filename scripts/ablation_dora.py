@@ -4,7 +4,6 @@ the synthetic GW corpus, then compare on MLGWSC + glitch classification:
   dora_pre  — DoRA fine-tune (~0.5% params) on the InfoNCE-pretrained encoder
   dora_rand — DoRA fine-tune on a randomly initialized encoder
   full_rand — full fine-tune from random init
-  full_pre  — full fine-tune on the pretrained encoder
 
 This is the zero-egress analogue of the reference's headline recipe
 ("pretrained Whisper + DoRA at ~0.5% of parameters", README.md:3 and
@@ -73,17 +72,51 @@ def main():
           flush=True)
 
     # ---- 1. InfoNCE pretraining (full encoder, reference parity) ----
+    from gwkit.train.checkpoints import load_pytree, save_pytree
+
     t0 = time.time()
     pre_task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc, acfg=acfg, qcfg=qcfg)
-    pre = ContrastivePretrainer(pre_task, lr=1e-4, temperature=0.1,
-                                train_full_encoder=True, seed=0)
-    pre.train(np.asarray(train_ds.noises), np.asarray(train_ds.waveforms),
-              steps=pretrain_steps, batch_size=32, snr_range=(7.0, 20.0),
-              outdir=out, log_every=200)
-    pretrained_enc = jax.tree.map(np.asarray, pre_task.frozen["encoder"])
-    print(f"pretrained in {time.time()-t0:.0f}s", flush=True)
+    enc_ckpt = os.path.join(out, "encoder_pretrained_full.npz")
+    if os.path.isfile(enc_ckpt):
+        pretrained_enc, _ = load_pytree(enc_ckpt, pre_task.frozen["encoder"])
+        pretrained_enc = jax.tree.map(np.asarray, pretrained_enc)
+        print(f"reusing pretrained encoder from {enc_ckpt}", flush=True)
+    else:
+        pre = ContrastivePretrainer(pre_task, lr=1e-4, temperature=0.1,
+                                    train_full_encoder=True, seed=0)
+        pre.train(np.asarray(train_ds.noises), np.asarray(train_ds.waveforms),
+                  steps=pretrain_steps, batch_size=32, snr_range=(7.0, 20.0),
+                  outdir=out, log_every=200)
+        pretrained_enc = jax.tree.map(np.asarray, pre_task.frozen["encoder"])
+        save_pytree(enc_ckpt, pretrained_enc)
+        print(f"pretrained in {time.time()-t0:.0f}s", flush=True)
 
     results = {}
+
+    def write_report():
+        lines = [
+            "# DoRA-transfer ablation (round 2)",
+            "",
+            f"InfoNCE pretraining: {pretrain_steps} steps (B=32, temp 0.1, full encoder",
+            "trainable — MLGWSC-1/train.py:884-920 parity) on the IMRPhenomD corpus;",
+            f"MLGWSC fine-tune {mlgwsc_epochs} epochs; glitch {glitch_epochs} epochs,",
+            f"{per_class}/class synthetic Gravity Spy corpus; geometry (80,{target}).",
+            "Zero-egress substitute for the reference's speech-pretrained Whisper",
+            "(README.md:3): the pretrained encoder here is self-pretrained on GW data.",
+            "",
+            "| task/recipe | best | trainable params | fraction | train s |",
+            "|---|---|---|---|---|",
+        ]
+        for key, r in results.items():
+            b = r["best"] if isinstance(r["best"], str) else f"{r['best']:.4f}"
+            lines.append(f"| {key} | {b} ({r['metric']}) | {r['trainable']:,} "
+                         f"| {100*r['frac']:.2f}% | {r['secs']:.0f} |")
+        report = "\n".join(lines) + "\n"
+        path = os.path.join(REPO, "docs", "results", "ablation_dora.md")
+        with open(path, "w") as f:
+            f.write(report)
+        return report
+
 
     # ---- 2. MLGWSC variants ----
     def run_mlgwsc(name, encoder_params, full_finetune):
@@ -114,13 +147,9 @@ def main():
         results[f"mlgwsc/{name}"] = dict(metric="val AUC", best=best[0],
                                          trainable=n_tr, frac=n_tr / n_all,
                                          secs=time.time() - t)
+        write_report()
 
-    run_mlgwsc("dora_pre", pretrained_enc, False)
-    run_mlgwsc("dora_rand", None, False)
-    run_mlgwsc("full_rand", None, True)
-    run_mlgwsc("full_pre", pretrained_enc, True)
-
-    # ---- 3. Glitch variants ----
+    # ---- 3. Glitch variants (run FIRST: item 6's headline artifacts) ----
     strain, labels = synthetic_glitch_dataset(per_class, seed=5)
     n_valid = len(labels) // 5
     g_train = LabeledDataset(strain[n_valid:], labels[n_valid:])
@@ -175,36 +204,20 @@ def main():
                                          best=f"{best[0]:.4f} / {best[1]:.4f}",
                                          trainable=n_tr, frac=n_tr / n_all,
                                          secs=time.time() - t)
+        write_report()
 
     run_glitch("dora_pre", pretrained_enc, False, write_artifacts=True)
     run_glitch("dora_rand", None, False)
     run_glitch("full_rand", None, True)
-    run_glitch("full_pre", pretrained_enc, True)
 
-    # ---- 4. report ----
-    lines = [
-        "# DoRA-transfer ablation (round 2)",
-        "",
-        f"InfoNCE pretraining: {pretrain_steps} steps (B=32, temp 0.1, full encoder",
-        "trainable — MLGWSC-1/train.py:884-920 parity) on the IMRPhenomD corpus;",
-        f"MLGWSC fine-tune {mlgwsc_epochs} epochs; glitch {glitch_epochs} epochs,",
-        f"{per_class}/class synthetic Gravity Spy corpus; geometry (80,{target}).",
-        "Zero-egress substitute for the reference's speech-pretrained Whisper",
-        "(README.md:3): the pretrained encoder here is self-pretrained on GW data.",
-        "",
-        "| task/recipe | best | trainable params | fraction | train s |",
-        "|---|---|---|---|---|",
-    ]
-    for key, r in results.items():
-        b = r["best"] if isinstance(r["best"], str) else f"{r['best']:.4f}"
-        lines.append(f"| {key} | {b} ({r['metric']}) | {r['trainable']:,} "
-                     f"| {100*r['frac']:.2f}% | {r['secs']:.0f} |")
-    report = "\n".join(lines) + "\n"
-    path = os.path.join(REPO, "docs", "results", "ablation_dora.md")
-    with open(path, "w") as f:
-        f.write(report)
-    print(report)
-    print(f"wrote {path}")
+    # ---- 2. MLGWSC variants (after glitch) ----
+    run_mlgwsc("dora_pre", pretrained_enc, False)
+    run_mlgwsc("dora_rand", None, False)
+    run_mlgwsc("full_rand", None, True)
+
+    # ---- 4. final report ----
+    print(write_report())
+    print("ablation done")
 
 
 if __name__ == "__main__":
