@@ -41,6 +41,9 @@ def add_adapter_args(parser: ArgumentParser) -> None:
                         help="Adapter targets: qkvo|qkv|kv|qv or comma list.")
     parser.add_argument("--hf-checkpoint", type=str, default=None,
                         help="Path to HF whisper weights (safetensors/torch) for the base encoder.")
+    parser.add_argument("--pretrained-encoder", type=str, default=None,
+                        help="gwkit encoder pytree (.npz), e.g. the InfoNCE-"
+                             "pretrained encoder saved by scripts/ablation_dora.py.")
 
 
 def build_adapter_config(args):
@@ -57,5 +60,14 @@ def load_encoder_params(args, size: str):
         from gwkit.models.hf_io import load_hf_encoder
 
         _, params = load_hf_encoder(args.hf_checkpoint, size=size)
+        return params
+    if getattr(args, "pretrained_encoder", None):
+        import jax
+
+        from gwkit.models.whisper import config_for, init_encoder_params
+        from gwkit.train.checkpoints import load_pytree
+
+        template = init_encoder_params(jax.random.PRNGKey(0), config_for(size))
+        params, _ = load_pytree(args.pretrained_encoder, template)
         return params
     return None

@@ -27,6 +27,8 @@ def parse_args(argv=None):
     p.add_argument("--full-finetune", action="store_true",
                    help="Train the whole encoder (train_full_finetune.py).")
     p.add_argument("--valid-fraction", type=float, default=0.2)
+    p.add_argument("--augment", action="store_true",
+                   help="On-device augmentation (time shift, sign flip, amplitude jitter).")
     from gwkit.utils.config import parse_with_config
 
     return parse_with_config(p, argv)
@@ -51,7 +53,7 @@ def main(argv=None):
     with h5py.File(args.dataset, "r") as f:
         strain, labels = f["strain"][()], f["labels"][()]
     n_valid = int(len(labels) * args.valid_fraction)
-    train_ds = LabeledDataset(strain[n_valid:], labels[n_valid:])
+    train_ds = LabeledDataset(strain[n_valid:], labels[n_valid:], augment=args.augment)
     valid_ds = LabeledDataset(strain[:n_valid], labels[:n_valid])
 
     task = build_glitch(

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.signal
@@ -160,11 +161,18 @@ def synthetic_glitch_dataset(
 
 
 class LabeledDataset:
-    """Simple labeled strain dataset with the .batches() protocol."""
+    """Simple labeled strain dataset with the .batches() protocol.
 
-    def __init__(self, strain: np.ndarray, labels: np.ndarray):
+    ``augment=True`` applies label-preserving on-device augmentation per
+    batch (circular time shift up to +-0.1 s, sign flip, amplitude jitter
+    U(0.7, 1.4)) — all three are symmetries of the whitened-strain glitch
+    classification task and run inside jit.
+    """
+
+    def __init__(self, strain: np.ndarray, labels: np.ndarray, augment: bool = False):
         self.strain = jnp.asarray(strain, jnp.float32)
         self.labels = jnp.asarray(labels, jnp.int32)
+        self.augment = augment
 
     def __len__(self):
         return len(self.labels)
@@ -174,7 +182,26 @@ class LabeledDataset:
 
         from gwkit.train.datasets_util import epoch_indices
 
+        key, k_aug = jax.random.split(key)
         seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
         for idx in epoch_indices(len(self.labels), batch_size, seed, shuffle, drop_remainder):
             idx = jnp.asarray(idx)
-            yield jnp.take(self.strain, idx, axis=0), jnp.take(self.labels, idx, axis=0)
+            x = jnp.take(self.strain, idx, axis=0)
+            if self.augment:
+                k_aug, k = jax.random.split(k_aug)
+                x = _augment_batch(k, x)
+            yield x, jnp.take(self.labels, idx, axis=0)
+
+
+@jax.jit
+def _augment_batch(key, x):
+    import jax
+
+    b, n = x.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    max_shift = n // 10  # +-0.1 s at 1 s windows
+    shifts = jax.random.randint(k1, (b,), -max_shift, max_shift + 1)
+    x = jax.vmap(lambda row, s: jnp.roll(row, s))(x, shifts)
+    sign = jnp.where(jax.random.bernoulli(k2, 0.5, (b,)), 1.0, -1.0)
+    amp = jax.random.uniform(k3, (b,), minval=0.7, maxval=1.4)
+    return x * (sign * amp)[:, None]
