@@ -41,9 +41,13 @@ def parse_args(argv=None):
     tr.add_argument("--window-duration", type=float, default=1.0)
     tr.add_argument("--sample-rate", type=float, default=2048.0)
 
-    gl = sub.add_parser("glitch", help="Synthetic Gravity Spy-style glitch corpus.")
+    gl = sub.add_parser("glitch", help="Gravity Spy-style glitch corpus (synthetic, or fetched from open data).")
     gl.add_argument("-o", "--output", type=str, required=True)
     gl.add_argument("--n-per-class", type=int, default=100)
+    gl.add_argument("--gravityspy-csv", type=str, nargs="+", default=None,
+                    help="Gravity Spy trigger CSVs: fetch real open-data strain "
+                         "via gwpy (network required) instead of synthesizing.")
+    gl.add_argument("--max-rows-per-file", type=int, default=None)
     from gwkit.utils.config import parse_with_config
 
     return parse_with_config(p, argv)
@@ -81,6 +85,12 @@ def main(argv=None):
             window_duration=args.window_duration, sample_rate=args.sample_rate, seed=args.seed,
         )
         print(f"training set written to {args.output}")
+    elif getattr(args, "gravityspy_csv", None):
+        from gwkit.data.fetch import build_gravityspy_corpus
+
+        n = build_gravityspy_corpus(args.gravityspy_csv, args.output,
+                                    max_rows_per_file=args.max_rows_per_file)
+        print(f"glitch corpus fetched to {args.output} ({n} samples)")
     else:
         import h5py
 

@@ -47,7 +47,9 @@ def preprocess_glitch_strain(
 ) -> np.ndarray:
     """(B, N) raw strain around a trigger -> (B, crop) whitened/highpassed
     windows centered on the trigger (generate_glitch_dataset.py semantics:
-    whiten with 4 s PSD segments, 30 Hz highpass, 1 s center crop)."""
+    whiten with 4 s PSD segments, 30 Hz highpass, 1 s center crop).
+    ``crop_duration=None`` skips the center crop (callers that crop by GPS
+    time themselves, e.g. gwkit.data.fetch)."""
     white = np.asarray(
         whiten_estimate(
             strain, delta_t=1.0 / sample_rate,
@@ -56,6 +58,8 @@ def preprocess_glitch_strain(
     )
     sos = scipy.signal.butter(8, highpass_hz, "highpass", fs=sample_rate, output="sos")
     filtered = scipy.signal.sosfiltfilt(sos, white, axis=-1)
+    if crop_duration is None:
+        return np.ascontiguousarray(filtered, dtype=np.float32)
     n_crop = int(crop_duration * sample_rate)
     mid = filtered.shape[-1] // 2
     return np.ascontiguousarray(filtered[:, mid - n_crop // 2 : mid + n_crop - n_crop // 2], dtype=np.float32)
