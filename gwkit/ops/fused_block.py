@@ -209,7 +209,7 @@ def _reference_block(x, p, adapters, n_heads: int, approx: bool):
     return x1 + prj("fc2", h2.astype(x.dtype))
 
 
-def _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q=128, block_f=256):
+def _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q=256, block_f=256):
     B, T, D = x.shape
     dt = x.dtype
     ad = adapters or {}
@@ -302,7 +302,7 @@ def fused_encoder_block(
     adapters: Optional[Any] = None,
     approx: bool = False,
     interpret: bool = False,
-    block_q: int = 128,
+    block_q: int = 256,
     block_f: int = 256,
 ) -> jnp.ndarray:
     """One whole pre-LN transformer block, fused: x (B, T, D) -> (B, T, D).
