@@ -55,6 +55,27 @@ def build_adapter_config(args):
     )
 
 
+def build_encoder_config(args, n_frames=None):
+    """TPU-tuned WhisperConfig for the training CLIs: bf16 compute, fused
+    block/flash kernels, tanh GELU on TPU; remat everywhere (without it the
+    f32 no-remat backward at T=1500 exceeds HBM — the scripts/ harnesses
+    always configured this, the CLIs must too)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gwkit.models.whisper import config_for
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    kw = dict(
+        compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_flash_attention=on_tpu, fused_block=on_tpu, remat=True,
+        gelu_approx=on_tpu,
+    )
+    if n_frames:
+        kw["max_positions"] = n_frames // 2
+    return config_for(args.encoder, **kw)
+
+
 def load_encoder_params(args, size: str):
     if args.hf_checkpoint:
         from gwkit.models.hf_io import load_hf_encoder

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from argparse import ArgumentParser
 
-from gwkit.cli.common import add_adapter_args, add_common_args, build_adapter_config, load_encoder_params, setup
+from gwkit.cli.common import add_adapter_args, add_common_args, build_adapter_config, build_encoder_config, load_encoder_params, setup
 
 
 def parse_args(argv=None):
@@ -57,7 +57,7 @@ def main(argv=None):
 
     ladder = [(hi - 5.0, hi) for hi in args.snr_ladder]
     task = build_signal_vs_noise(
-        jax.random.PRNGKey(args.seed), encoder=args.encoder,
+        jax.random.PRNGKey(args.seed), encoder=build_encoder_config(args, args.n_frames),
         acfg=build_adapter_config(args),
         encoder_params=load_encoder_params(args, args.encoder),
         input_sample_rate=args.input_sample_rate, n_frames=args.n_frames,

@@ -7,7 +7,7 @@ from argparse import ArgumentParser
 
 import numpy as np
 
-from gwkit.cli.common import add_adapter_args, add_common_args, build_adapter_config, load_encoder_params, setup
+from gwkit.cli.common import add_adapter_args, add_common_args, build_adapter_config, build_encoder_config, load_encoder_params, setup
 
 
 def parse_args(argv=None):
@@ -57,7 +57,7 @@ def main(argv=None):
     valid_ds = LabeledDataset(strain[:n_valid], labels[:n_valid])
 
     task = build_glitch(
-        jax.random.PRNGKey(args.seed), encoder=args.encoder,
+        jax.random.PRNGKey(args.seed), encoder=build_encoder_config(args, args.n_frames),
         acfg=build_adapter_config(args), num_classes=args.num_classes,
         encoder_params=load_encoder_params(args, args.encoder),
         input_sample_rate=args.input_sample_rate, full_finetune=args.full_finetune,

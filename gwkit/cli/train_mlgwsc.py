@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from argparse import ArgumentParser
 
-from gwkit.cli.common import add_adapter_args, add_common_args, build_adapter_config, load_encoder_params, setup
+from gwkit.cli.common import add_adapter_args, add_common_args, build_adapter_config, build_encoder_config, load_encoder_params, setup
 
 
 def parse_args(argv=None):
@@ -65,7 +65,8 @@ def main(argv=None):
         target_shape=tuple(args.target_shape), n_detectors=args.n_detectors,
     )
     task = build_mlgwsc(
-        jax.random.PRNGKey(args.seed), encoder=args.encoder,
+        jax.random.PRNGKey(args.seed),
+        encoder=build_encoder_config(args, args.target_shape[1]),
         acfg=build_adapter_config(args), qcfg=qcfg, num_classes=args.num_classes,
         encoder_params=load_encoder_params(args, args.encoder),
     )
