@@ -42,6 +42,24 @@ from gwkit.ops.dora import dora_linear, dora_row_norms
 from gwkit.ops.fused_mlp import _fused_mlp_impl
 
 
+def _divisor_tile(tp: int, want: int) -> int:
+    """Largest multiple-of-128 divisor of ``tp`` that is <= ``want``.
+
+    Every row-tiled stage iterates ``tp // tile`` times, so the tile MUST
+    divide the 128-padded length exactly — a truncating ``tp // tile`` with a
+    non-divisor tile silently skips the tail rows (uninitialized scratch fed
+    downstream). ``tp`` is always a multiple of 128, so 128 itself is always
+    a valid fallback and the loop terminates.
+    """
+    want = min(want, tp)
+    cand = (want // 128) * 128
+    while cand >= 128:
+        if tp % cand == 0:
+            return cand
+        cand -= 128
+    return tp  # unreachable for tp >= 128 (tp is 128-padded); keep total cover
+
+
 def _ln_f32(x, g, b, eps=1e-5):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -74,8 +92,10 @@ def _attn_block_kernel(
     # Every non-attention stage is row-tiled: a full-width (Tp, D) f32
     # intermediate is 2.4 MB for whisper-tiny and Mosaic stacks them — the
     # untiled kernel version exceeded the 16 MB VMEM budget at compile time.
-    block_r = min(512, tp)
+    block_r = _divisor_tile(tp, 512)
     n_r = tp // block_r
+    assert n_r * block_r == tp and tp % block_q == 0 and tp % block_f == 0, (
+        "fused-block tiles must divide the padded length", tp, block_r, block_q, block_f)
 
     def rows(i):
         return pl.ds(i * block_r, block_r)
@@ -125,14 +145,17 @@ def _attn_block_kernel(
                 p = scores.astype(dt)
                 denom = 1.0
             else:
-                # softmax without the row-max pass: a CONSTANT shift leaves
-                # the normalized result unchanged, and the clamp at 80 keeps
-                # exp(60) = 1.1e26 well inside f32/bf16 range even if a row
-                # sums 1536 of them (1.7e29 < 3.4e38). Saves one full
-                # (bq, T) reduce+subtract pass per block — the row max of
-                # LN-bounded scores never approaches the clamp in practice.
-                scores = jnp.where(key_mask, jnp.minimum(scores, 80.0), -jnp.inf)
-                p = jnp.exp((scores - 20.0).astype(dt))
+                # exact per-row max shift (reference softmax semantics at ANY
+                # score scale): after the shift every exponent is <= 0, so p
+                # never overflows and the denominator is >= 1 (the max element
+                # contributes exp(0)) — NaN/Inf are impossible by construction.
+                # A constant-shift variant (round 2) saved the (bq, T) max
+                # reduce but silently diverged for |scores| > ~60 (clamp) or
+                # rows entirely below ~-67 (bf16 underflow -> denom 0 -> NaN);
+                # correctness wins, measured cost ~2-3% per layer.
+                scores = jnp.where(key_mask, scores, -jnp.inf)
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp((scores - m).astype(dt))
                 denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
             o = _dot(p, vh) / denom
             o_ref[0, pl.ds(qi * block_q, block_q), hi * hd:(hi + 1) * hd] = o.astype(dt)
@@ -162,6 +185,22 @@ def _attn_block_kernel(
         return 0
 
     jax.lax.fori_loop(0, tp // block_f, mlp_tile, 0)
+
+
+def _attn_only_kernel(
+    x_ref, g1_ref, bb1_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    o_ref, h_s, q_s, k_s, **kw,
+):
+    """Attention-block-only variant for the VMEM-fallback path: takes NO MLP
+    operands, so the fallback actually sheds the fc1/fc2 VMEM residency that
+    triggered it (the full kernel would keep ~4-6 MB of unused MLP weights
+    resident even with skip_mlp=True)."""
+    _attn_block_kernel(
+        x_ref, g1_ref, bb1_ref,
+        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+        None, None, None, None, None, None,
+        o_ref, h_s, q_s, k_s, skip_mlp=True, **kw)
 
 
 def _effective_proj(p_entry, adapter, dtype):
@@ -219,8 +258,8 @@ def _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q=256, block_f
     dt = x.dtype
     ad = adapters or {}
     tp = -(-T // 128) * 128
-    block_q = min(block_q, tp)
-    block_f = min(block_f, tp)
+    block_q = _divisor_tile(tp, block_q)
+    block_f = _divisor_tile(tp, block_f)
     xp = jnp.pad(x, ((0, 0), (0, tp - T), (0, 0))) if tp != T else x
 
     flat = [xp, p["attn_ln"]["g"], p["attn_ln"]["b"]]
@@ -259,17 +298,17 @@ def _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q=256, block_f
         # run the attention block alone, then the token-tiled MLP kernel
         x1 = pl.pallas_call(
             functools.partial(
-                _attn_block_kernel, n_heads=n_heads, t_valid=T, block_q=block_q,
+                _attn_only_kernel, n_heads=n_heads, t_valid=T, block_q=block_q,
                 block_f=block_f, q_scale=(D // n_heads) ** -0.5,
-                bias_flags=tuple(bias_flags), approx=approx, skip_mlp=True,
+                bias_flags=tuple(bias_flags), approx=approx,
                 ablate=__import__("os").environ.get("GWKIT_FUSED_ABLATE", "")),
             out_shape=jax.ShapeDtypeStruct((B, tp, D), dt),
             grid=(B,),
-            in_specs=in_specs,
+            in_specs=in_specs[:11],
             out_specs=pl.BlockSpec((1, tp, D), lambda b: (b, 0, 0)),
             scratch_shapes=[pltpu.VMEM((tp, D), dt) for _ in range(3)],
             interpret=interpret,
-        )(*flat)
+        )(*flat[:11])
         out = _fused_mlp_impl(
             x1, p["mlp_ln"]["g"], p["mlp_ln"]["b"],
             p["fc1"]["w"].astype(dt), p["fc1"]["b"],

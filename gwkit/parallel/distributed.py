@@ -36,10 +36,21 @@ def initialize(
                  jax.local_device_count(), jax.device_count())
 
 
+def host_key_filter(process_id: int, num_processes: int):
+    """(index, key) -> bool round-robin predicate for metadata-level segment
+    sharding: passed to read_segments/stream_segments so each host only OPENS
+    its share (longest-first order keeps per-host work balanced). Sharding at
+    the key level — not over the yielded stream — is what preserves streaming
+    under jax.distributed."""
+    return lambda i, key: i % num_processes == process_id
+
+
 def shard_segments_across_hosts(segments: Sequence, process_id: int, num_processes: int) -> List:
-    """Deterministic round-robin split of search segments across hosts
-    (longest-first order keeps per-host work balanced)."""
-    return [seg for i, seg in enumerate(segments) if i % num_processes == process_id]
+    """Deterministic round-robin split of an ALREADY-MATERIALIZED segment
+    list (prefer host_key_filter for file-backed searches — it shards before
+    any read)."""
+    keep = host_key_filter(process_id, num_processes)
+    return [seg for i, seg in enumerate(segments) if keep(i, getattr(seg, "key", None))]
 
 
 def write_trigger_shard(local_triggers: Dict[str, list], shard_dir: str, process_id: int) -> str:

@@ -162,12 +162,21 @@ def get_triggers(
         from gwkit.search.slicer import native_streamable
 
         stream = native_streamable(inputfile)
-    segments = stream_segments(inputfile) if stream else read_segments(inputfile)
+    # Multi-host sharding happens at the KEY level, before any dataset read:
+    # each host round-robins the longest-first key order so it only opens
+    # (and prefetches) its own share — filtering the yielded stream instead
+    # would make every host materialize the whole file (ADVICE r2).
     n_proc = jax.process_count()
+    key_filter = None
     if n_proc > 1:
-        from gwkit.parallel.distributed import shard_segments_across_hosts
+        from gwkit.parallel.distributed import host_key_filter
 
-        segments = shard_segments_across_hosts(segments, jax.process_index(), n_proc)
+        key_filter = host_key_filter(jax.process_index(), n_proc)
+    segments = (
+        stream_segments(inputfile, key_filter=key_filter)
+        if stream
+        else read_segments(inputfile, key_filter=key_filter)
+    )
     cfg = SlicerConfig(
         step_size=step_size, low_frequency_cutoff=low_frequency_cutoff, batch_size=batch_size
     )

@@ -37,10 +37,16 @@ class Segment:
 
 
 def read_segments(
-    path: str, detectors: Optional[List[str]] = None
+    path: str, detectors: Optional[List[str]] = None, key_filter=None
 ) -> List[Segment]:
     """Load every segment of an MLGWSC-style HDF5 file
     ({detector: {key: dataset(attrs: start_time, delta_t)}}).
+
+    Keys are enumerated longest-first, like the reference (inference.py:546)
+    — keeps the device busy on big segments while short ones amortize.
+    ``key_filter(i, key)`` (over that order) selects a subset BEFORE any
+    dataset is read — this is how multi-host search shards segments without
+    each host touching the others' data.
 
     Contiguous uncompressed datasets stream through the native C++
     double-buffered reader (f64->f32 off the Python thread,
@@ -50,7 +56,9 @@ def read_segments(
     segments = []
     with h5py.File(path, "r") as f:
         dets = detectors or sorted(f.keys())
-        keys = list(f[dets[0]].keys())
+        keys = sorted(f[dets[0]].keys(), key=lambda k: f[dets[0]][k].shape[0], reverse=True)
+        if key_filter is not None:
+            keys = [k for i, k in enumerate(keys) if key_filter(i, k)]
         for key in keys:
             dss = [f[det][key] for det in dets]
             start = dss[0].attrs["start_time"]
@@ -63,9 +71,6 @@ def read_segments(
             segments.append(
                 Segment(key=key, strain=np.stack(rows), start_time=float(start), delta_t=float(delta_t))
             )
-    # longest first, like the reference (inference.py:546) — keeps the device
-    # busy on big segments while short ones amortize
-    segments.sort(key=lambda s: s.strain.shape[1], reverse=True)
     return segments
 
 
@@ -78,17 +83,30 @@ def native_streamable(path: str, detectors: Optional[List[str]] = None) -> bool:
         return False
     with h5py.File(path, "r") as f:
         dets = detectors or sorted(f.keys())
+        # verify key sets match across detectors (a detector missing a key
+        # is "not streamable", not a KeyError), then probe each detector's
+        # own datasets
+        keysets = [set(f[det].keys()) for det in dets]
+        if any(ks != keysets[0] for ks in keysets[1:]):
+            return False
         return all(
             dataset_prefetch_meta(f[det][key]) is not None
-            for det in dets for key in f[dets[0]].keys()
+            for det in dets for key in keysets[0]
         )
 
 
 def stream_segments(
-    path: str, detectors: Optional[List[str]] = None, prefetch: int = 1
+    path: str, detectors: Optional[List[str]] = None, prefetch: int = 1,
+    key_filter=None,
 ) -> Iterator[Segment]:
     """Yield the file's Segments longest-first while the NEXT segment is read
     ahead in the background.
+
+    ``key_filter(i, key)`` over the longest-first key order selects a subset
+    before any read is issued — under jax.distributed each host passes its
+    round-robin filter so it only ever opens (and prefetches) its own share;
+    filtering the yielded stream instead would make every host read the whole
+    file (ADVICE r2).
 
     Fast path: when every dataset is contiguous uncompressed f64/f32 and the
     native library is built, segment i+1 is read by a C++ thread
@@ -105,6 +123,8 @@ def stream_segments(
     with h5py.File(path, "r") as f:
         dets = detectors or sorted(f.keys())
         keys = sorted(f[dets[0]].keys(), key=lambda k: f[dets[0]][k].shape[0], reverse=True)
+        if key_filter is not None:
+            keys = [k for i, k in enumerate(keys) if key_filter(i, k)]
         for key in keys:
             dss = [f[det][key] for det in dets]
             start = dss[0].attrs["start_time"]

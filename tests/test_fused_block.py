@@ -74,6 +74,38 @@ def test_fused_block_gradients(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("T", [50, 300, 600, 130])
+def test_fused_block_non_divisible_lengths(setup, T):
+    """Tail-row coverage: lengths whose 128-padded tp (384, 640, 256) is NOT
+    a multiple of the default 512/256 tiles previously skipped the tail rows
+    entirely (ADVICE r2 high finding) — every row must match the reference."""
+    params, adapters, _ = setup
+    p = _layer_slice(params["layers"], 0)
+    ad = _layer_slice(adapters, 0)
+    x = jnp.asarray(np.random.default_rng(T).normal(size=(2, T, 64)).astype(np.float32))
+    want = _reference_block(x, p, ad, CFG.n_heads, False)
+    got = fused_encoder_block(x, p, CFG.n_heads, ad, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("scale", [1e-3, 1.0, 60.0, 1e3])
+def test_fused_block_adversarial_score_scales(setup, scale):
+    """Softmax robustness across attention-logit scales (VERDICT r2 weak #3):
+    scaling the q projection weight by up to 1e3 drives raw scores far past
+    the old constant-shift clamp (+80) and far below its bf16 underflow point
+    (~-67). The per-row max shift must reproduce the reference softmax —
+    finite and equal — at every scale."""
+    params, _, x = setup
+    p = dict(_layer_slice(params["layers"], 0))
+    p["q"] = dict(p["q"], w=p["q"]["w"] * scale, b=p["q"]["b"] * scale)
+    want = _reference_block(x, p, None, CFG.n_heads, False)
+    got = fused_encoder_block(x, p, CFG.n_heads, None, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=2e-6 * max(scale, 1.0))
+
+
 def test_encoder_fused_flag_matches_unfused(setup):
     """encoder_apply(fused_block=True) == encoder_apply(unfused) end to end
     (scan over stacked layers, conv stem, positions, final LN)."""
