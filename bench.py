@@ -57,9 +57,10 @@ def main():
     qcfg = QAdapterConfig(
         median_stride=int(os.environ.get("BENCH_MEDIAN_STRIDE", "8")),
         target_shape=(80, target_frames),
-        # exact spectral-fold decimation; trains to the same AUC (0.984,
-        # scripts/train_demo variants) — set 1 for strict reference semantics
-        time_decimation=int(os.environ.get("BENCH_TIME_DECIMATION", "4")),
+        # d=1 IS the default and the fast path since the per-row-native
+        # Q-scan (round 3): the round-2 decimation shortcut is retired —
+        # the knob remains for comparison runs only
+        time_decimation=int(os.environ.get("BENCH_TIME_DECIMATION", "1")),
     )
     task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc, qcfg=qcfg)
 

@@ -78,26 +78,63 @@ def plane_frequencies(
 
 
 @dataclasses.dataclass(frozen=True)
+class QBucket:
+    """Rows sharing one native tile length L (= the row's GWpy ``ntiles``).
+
+    The reference algorithm evaluates each row's energy series at its OWN
+    power-of-two length; bucketing rows by that length and running one
+    batched iFFT per bucket reproduces those grids exactly while doing
+    ~6-7x less transform work than padding every row to the common maximum
+    (most buckets are short enough for the MXU iDFT-matmul path).
+    """
+    length: int                 # native iFFT length L for these rows
+    rows: np.ndarray            # original plane-major row indices (n_L,)
+    gather_idx: np.ndarray      # (n_L, L) int32 into rfft bins
+    gather_weight: np.ndarray   # (n_L, L) float32 bisquare window values
+
+
+@dataclasses.dataclass(frozen=True)
 class QPlan:
     """Static geometry for one batched Q-scan configuration."""
     duration: float
     sample_rate: float
     qs: Tuple[float, ...]
-    n_common: int                      # common iFFT length (power of two)
+    n_common: int                      # max tile length (power of two)
     n_rows: Tuple[int, ...]            # rows per plane
     # flat scatter tables over all planes' rows (kept for testing):
     src_idx: np.ndarray                # index into rfft(strain) (clipped to valid)
     dst_idx: np.ndarray                # (row, position-in-common-spectrum) flat index
     weight: np.ndarray                 # bisquare window value * scale compensation
-    # dense gather formulation (the TPU fast path — scatters serialize on TPU,
-    # gathers vectorize; window sizes < ntiles so each spectrum slot has at
-    # most one source bin):
+    # legacy common-length dense gather tables (tests/reference formulation;
+    # the production path uses the per-length buckets below):
     gather_idx: np.ndarray             # (total_rows, n_common) int32 into rfft bins
     gather_weight: np.ndarray          # (total_rows, n_common) float32
     row_freqs: Tuple[np.ndarray, ...]  # frequencies per plane
     time_interp: Tuple[np.ndarray, ...]   # per plane (n_common, t_bins) sparse-as-dense
     freq_interp: Tuple[np.ndarray, ...]   # per plane (f_bins, n_rows)
     shape: Tuple[int, int]
+    # native per-row-length formulation (the production fast path):
+    buckets: Tuple[QBucket, ...] = ()
+    row_inv: np.ndarray = None         # bucket-concat position of each plane-major row
+
+
+def _bilinear_taps(n_in: int, n_out: int):
+    """The 2-tap form of :func:`_bilinear_matrix`: (lo, hi, w) numpy arrays
+    such that out[i] = in[lo[i]]*(1-w[i]) + in[hi[i]]*w[i] — identical values
+    at 2 reads per output bin instead of an (n_in, n_out) matmul."""
+    lo = np.zeros(n_out, np.int32)
+    hi = np.zeros(n_out, np.int32)
+    w = np.zeros(n_out, np.float32)
+    if n_in == 1:
+        return lo, hi, w
+    scale = n_in / n_out
+    for i in range(n_out):
+        x = (i + 0.5) * scale - 0.5
+        x = min(max(x, 0.0), n_in - 1.0)
+        lo[i] = int(np.floor(x))
+        hi[i] = min(lo[i] + 1, n_in - 1)
+        w[i] = x - lo[i]
+    return lo, hi, w
 
 
 def _bilinear_matrix(n_in: int, n_out: int) -> np.ndarray:
@@ -153,6 +190,7 @@ def make_qplan(
     n_common = max_ntiles
 
     row_offset = 0
+    by_len: dict = {}  # L -> list of (global_row, src_k_valid, dst_k_valid, window_valid)
     for (freqs, ws_list, nt_list), q in zip(rows_meta, qs):
         qprime = q / np.sqrt(11.0)
         for r, (f, windowsize, ntiles) in enumerate(zip(freqs, ws_list, nt_list)):
@@ -173,7 +211,26 @@ def make_qplan(
             src.append(src_k[valid])
             dst.append((row_offset + r) * n_common + dst_k[valid])
             wgt.append(window[valid] * (n_common / ntiles) * scale)
+            # native-length bucket entry: the row at its OWN ntiles length
+            # (windowsize < ntiles always — bisquare half-width is ~0.55 of
+            # the tile count — so mod-placement never collides)
+            by_len.setdefault(ntiles, []).append(
+                (row_offset + r, src_k[valid], np.mod(k, ntiles)[valid], window[valid]))
         row_offset += len(freqs)
+
+    buckets = []
+    order = []
+    for L in sorted(by_len):
+        entries = by_len[L]
+        gi = np.zeros((len(entries), L), np.int32)
+        gw = np.zeros((len(entries), L), np.float32)
+        for i, (row, s_k, d_k, win) in enumerate(entries):
+            gi[i, d_k] = s_k
+            gw[i, d_k] = win.astype(np.float32)
+            order.append(row)
+        buckets.append(QBucket(length=int(L), rows=np.asarray([e[0] for e in entries], np.int32),
+                               gather_idx=gi, gather_weight=gw))
+    row_inv = np.argsort(np.asarray(order, np.int64)).astype(np.int32)
 
     t_bins, f_bins = spectrogram_shape[1], spectrogram_shape[0]
     time_interp = tuple(
@@ -205,6 +262,8 @@ def make_qplan(
         time_interp=time_interp,
         freq_interp=freq_interp,
         shape=(f_bins, t_bins),
+        buckets=tuple(buckets),
+        row_inv=row_inv,
     )
 
 
@@ -222,73 +281,102 @@ def qscan(
 ) -> jnp.ndarray:
     """Q-scan of (B, N) strain -> (B, f_bins, t_bins) normalized energy.
 
-    Computes every Q plane with one batched iFFT, normalizes (median over
-    time per row, GWpy default), interpolates each plane to the fixed
-    spectrogram shape, and returns per-sample the plane with the largest
-    peak energy (QScan semantics).
+    Per-row-native formulation (GWpy/ml4gw parity): every row's energy
+    series is evaluated at its OWN power-of-two tile length (``ntiles``),
+    exactly like the reference algorithm — rows are bucketed by that length
+    and each bucket runs as one batched iFFT (MXU iDFT matmuls for lengths
+    <= 1024, XLA FFT above — the crossover measured on v5e). Rows are then
+    median-normalized and bilinearly interpolated (2-tap gathers) from
+    their native grids to the fixed ``spectrogram_shape``; the scan returns
+    per sample the plane with the largest peak normalized energy.
 
-    ``median_stride`` > 1 estimates the row median from every k-th sample —
-    the normalizer is itself a statistical estimate, and subsampling only
-    widens its sampling error (~sqrt(k)); the TPU sort underlying
-    jnp.median is the single most expensive op of the scan, so the serving
-    path uses stride 8 (see QAdapterConfig) while golden tests keep 1.
+    This replaces the round-1/2 common-length padding (every row upsampled
+    to max ntiles by zero-padded iFFT): the native grids are both the
+    reference's semantics AND ~3x faster — which also retires the round-2
+    ``time_decimation=4`` serving shortcut (kept as a legacy knob: d > 1
+    folds each bucket's spectrum to L/d, exact at the sampled points, but
+    the default d=1 is now the fast path).
 
-    ``time_decimation`` d > 1 evaluates tile energies at every d-th time
-    sample EXACTLY via spectral folding (samples of a length-N iFFT at
-    stride d equal the length-N/d iFFT of the modulo-folded spectrum, scaled
-    by 1/d) — the iFFT, normalization, and interpolation all shrink by d.
-    n_common/d must still exceed the output t_bins; serving uses d=4.
+    ``median_stride`` > 1 estimates a row's median normalizer from every
+    k-th sample; each bucket clamps the stride so at least 64 samples (or
+    the full row, if shorter) enter the estimate. The sort under jnp.median
+    is the scan's most expensive VPU op; serving uses stride 8, golden
+    tests keep 1 (exact medians on every row length).
     """
     if plan is None:
         plan = make_qplan(duration, sample_rate, q_range, spectrogram_shape)
     B = strain.shape[0]
+    t_bins = plan.shape[1]
+    d = max(1, int(time_decimation))
 
     fseries = jnp.fft.rfft(strain.astype(jnp.float32), axis=-1)  # (B, F)
-    # dense gather: every (row, spectrum-slot) reads at most one rfft bin
-    spec = fseries[:, plan.gather_idx] * jnp.asarray(plan.gather_weight)
-    n_t = plan.n_common
-    if time_decimation > 1:
-        n_t = plan.n_common // time_decimation
-        spec = spec.reshape(*spec.shape[:-1], time_decimation, n_t).sum(axis=-2)
-    if n_t <= 1024:
-        # Short transforms ride the MXU: a dense iDFT as four f32 matmuls
-        # ('highest' precision, ~1e-5 of the FFT result) beats XLA's TPU FFT
-        # ~1.8x at n_t=512. The matrix is a trace-time constant (n_t^2 * 8 B).
-        tgrid = np.arange(n_t)
-        w = np.exp(2j * np.pi * np.outer(tgrid, tgrid) / n_t) / n_t
-        wr, wi = jnp.asarray(w.real, jnp.float32), jnp.asarray(w.imag, jnp.float32)
-        sr, si = spec.real, spec.imag
-        prec = jax.lax.Precision.HIGHEST
-        yr = jnp.matmul(sr, wr.T, precision=prec) - jnp.matmul(si, wi.T, precision=prec)
-        yi = jnp.matmul(sr, wi.T, precision=prec) + jnp.matmul(si, wr.T, precision=prec)
-        energy = yr**2 + yi**2  # (B, rows, n_t)
-    else:
-        series = jnp.fft.ifft(spec, axis=-1)
-        energy = series.real ** 2 + series.imag ** 2  # (B, rows, n_t)
-    if time_decimation > 1:
-        energy = energy * (1.0 / time_decimation ** 2)  # fold rescale (norm-invariant)
+    tinterp_parts, rowmax_parts = [], []
+    for bucket in plan.buckets:
+        # dense gather: every (row, spectrum-slot) reads at most one rfft bin
+        spec = fseries[:, bucket.gather_idx] * jnp.asarray(bucket.gather_weight)
+        L = bucket.length
+        # legacy decimation folds only rows that keep >= t_bins native
+        # resolution — folding short rows below the output grid blurs them
+        # for no meaningful saving (short buckets are already cheap)
+        folded = d > 1 and L // d >= t_bins
+        if folded:
+            spec = spec.reshape(*spec.shape[:-1], d, L // d).sum(axis=-2)
+            L = L // d
+        if L <= 1024:
+            # short transforms ride the MXU: dense iDFT as four f32 matmuls
+            # ('highest' precision, ~1e-5 of the FFT result)
+            tgrid = np.arange(L)
+            m = np.exp(2j * np.pi * np.outer(tgrid, tgrid) / L) / L
+            mr, mi = jnp.asarray(m.real, jnp.float32), jnp.asarray(m.imag, jnp.float32)
+            sr, si = spec.real, spec.imag
+            prec = jax.lax.Precision.HIGHEST
+            yr = jnp.matmul(sr, mr.T, precision=prec) - jnp.matmul(si, mi.T, precision=prec)
+            yi = jnp.matmul(sr, mi.T, precision=prec) + jnp.matmul(si, mr.T, precision=prec)
+            energy = yr ** 2 + yi ** 2  # (B, n_L, L)
+        else:
+            energy = jnp.fft.ifft(spec, axis=-1)
+            energy = energy.real ** 2 + energy.imag ** 2
+        if folded and norm == "none":
+            # fold rescale; for median/mean norms it cancels exactly in
+            # energy/denom, so the multiply pass is skipped there
+            energy = energy * (1.0 / d ** 2)
 
-    if norm == "median":
-        sample = energy[..., ::median_stride] if median_stride > 1 else energy
-        denom = jnp.median(sample, axis=-1, keepdims=True)
-    elif norm == "mean":
-        denom = jnp.mean(energy, axis=-1, keepdims=True)
-    else:
-        denom = jnp.ones_like(energy[..., :1])
-    energy = energy / jnp.maximum(denom, 1e-30)
+        # row normalizer (GWpy median over time by default) from the raw
+        # native-grid energies; division is deferred to the t_bins-wide
+        # interpolated tensor (normalizers are constant along time and
+        # interpolation is linear, so interp(e)/den == interp(e/den))
+        if norm == "median":
+            s = min(median_stride, max(1, L // 64))
+            sample = energy[..., ::s] if s > 1 else energy
+            denom = jnp.median(sample, axis=-1, keepdims=True)
+        elif norm == "mean":
+            denom = jnp.mean(energy, axis=-1, keepdims=True)
+        else:
+            denom = jnp.ones_like(energy[..., :1])
+        denom = jnp.maximum(denom, 1e-30)
 
-    # Per plane: interpolate to (f_bins, t_bins) and get peak value.
-    t_bins = plan.shape[1]
+        # bilinear time interp from the native grid: exactly 2 taps per
+        # output bin -> two static minor-dim gathers + a lerp (the dense
+        # (L, t_bins) matmul computes identical values at ~L/2x the FLOPs)
+        lo, hi, w = _bilinear_taps(L, t_bins)
+        tlow = energy[..., lo]
+        thigh = energy[..., hi]
+        tinterp_parts.append((tlow + jnp.asarray(w) * (thigh - tlow)) / denom)
+        # plane peak of NORMALIZED energy == raw row max / denom (denom > 0)
+        rowmax_parts.append(jnp.max(energy, axis=-1) / denom[..., 0])
+
+    # back to plane-major row order (static permutation)
+    tinterp = jnp.concatenate(tinterp_parts, axis=1)[:, plan.row_inv]  # (B, rows, t_bins)
+    rowmax = jnp.concatenate(rowmax_parts, axis=1)[:, plan.row_inv]  # (B, rows)
+
     specs, peaks = [], []
     offset = 0
     for p, nr in enumerate(plan.n_rows):
-        rows = energy[:, offset : offset + nr, :]  # (B, nr, n_t)
-        offset += nr
-        ti = plan.time_interp[p] if time_decimation == 1 else _bilinear_matrix(n_t, t_bins).T.astype(np.float32)
-        t = rows @ jnp.asarray(ti)  # (B, nr, t_bins)
-        s = jnp.einsum("fr,brt->bft", jnp.asarray(plan.freq_interp[p]), t)
+        rows = tinterp[:, offset : offset + nr, :]  # (B, nr, t_bins)
+        s = jnp.einsum("fr,brt->bft", jnp.asarray(plan.freq_interp[p]), rows)
         specs.append(s)
-        peaks.append(jnp.max(rows, axis=(-2, -1)))
+        peaks.append(jnp.max(rowmax[:, offset : offset + nr], axis=-1))
+        offset += nr
     stacked = jnp.stack(specs, axis=1)  # (B, nplanes, f, t)
     peak = jnp.stack(peaks, axis=1)  # (B, nplanes)
     best = jnp.argmax(peak, axis=1)

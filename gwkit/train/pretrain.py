@@ -23,9 +23,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from gwkit.models.classifier import ClassifierConfig, encode_embedding
+from gwkit.models.classifier import ClassifierConfig
 from gwkit.models.heads import init_mlp_head, mlp_head_apply
-from gwkit.models.qadapter import qadapter_apply
 from gwkit.train.checkpoints import save_pytree
 from gwkit.train.losses import info_nce
 from gwkit.data.datasets import sample_pretrain_pairs
@@ -44,31 +43,25 @@ class ContrastivePretrainer:
         self.task = task
         self.temp = temperature
         cfg: ClassifierConfig = task.cfg
-        d = cfg.encoder.d_model * task.qcfg.n_detectors
+        d = cfg.encoder.d_model * cfg.n_detectors
         key = jax.random.PRNGKey(seed)
         proj = init_mlp_head(key, d, (proj_dim,), proj_dim)
 
-        trainable = {
-            "qadapter": task.trainable["qadapter"],
-            "adapters": task.trainable["adapters"],
-            "proj": proj,
-        }
+        # every non-head trainable (Q-adapter and/or DoRA adapters) learns
+        # during pretraining; the supervised head is task-specific and stays
+        # out (it is trained fresh afterwards)
+        trainable = {k: v for k, v in task.trainable.items() if k != "head"}
+        trainable["proj"] = proj
         frozen = dict(task.frozen)
-        if train_full_encoder:
+        if train_full_encoder and "encoder" in frozen:
             trainable["encoder"] = frozen.pop("encoder")
         self.trainable, self.frozen = trainable, frozen
         self.optimizer = optax.adamw(lr)
         self.opt_state = self.optimizer.init(trainable)
-        qcfg = task.qcfg
-
-        def embed(trainable, frozen, x):
-            feats = qadapter_apply(qcfg, trainable["qadapter"], x)
-            enc = trainable.get("encoder", frozen.get("encoder"))
-            embs = [
-                encode_embedding(cfg, enc, feats[:, i], trainable["adapters"])
-                for i in range(qcfg.n_detectors)
-            ]
-            return jnp.concatenate(embs, axis=-1)
+        assert task.embed is not None, (
+            "contrastive pretraining needs a task with an `embed` surface "
+            "(build_mlgwsc / build_signal_vs_noise provide one)")
+        embed = task.embed
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(trainable, opt_state, x1, x2):
@@ -111,13 +104,18 @@ class ContrastivePretrainer:
             if log_every and (it % log_every == 0 or it == steps - 1):
                 logging.info("pretrain step %d/%d loss %.4f (%.1fs)", it, steps, float(loss), time.time() - t0)
         # write back into the task + save/reload round trip (train.py:912-920)
-        self.task.trainable["qadapter"] = self.trainable["qadapter"]
-        self.task.trainable["adapters"] = self.trainable["adapters"]
+        for k in self.task.trainable:
+            if k in self.trainable:
+                self.task.trainable[k] = self.trainable[k]
         if "encoder" in self.trainable:
             self.task.frozen["encoder"] = self.trainable["encoder"]
         if outdir:
             os.makedirs(outdir, exist_ok=True)
-            save_pytree(os.path.join(outdir, "q_adapter_pretrained.npz"), self.trainable["qadapter"])
-            save_pytree(os.path.join(outdir, "encoder_pretrained.npz"),
-                        {"adapters": self.trainable["adapters"]})
+            if "qadapter" in self.trainable:
+                save_pytree(os.path.join(outdir, "q_adapter_pretrained.npz"),
+                            self.trainable["qadapter"])
+            save_pytree(
+                os.path.join(outdir, "encoder_pretrained.npz"),
+                {k: self.trainable[k] for k in ("adapters", "encoder")
+                 if k in self.trainable})
             logging.info("Saved pretraining weights.")

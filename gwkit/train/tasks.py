@@ -48,6 +48,9 @@ class Task:
     loss_fn: Callable  # (trainable, frozen, batch, key) -> (loss, aux)
     forward: Callable  # (trainable, frozen, inputs...) -> scores/logits
     qcfg: Optional[QAdapterConfig] = None
+    # (trainable, frozen, strain) -> (B, D*d_model) pre-head embedding; used
+    # by the InfoNCE contrastive pretrainer (any front end: Q-adapter or mel)
+    embed: Optional[Callable] = None
 
     def export_components(self, outdir: str, trainable: Any) -> None:
         """Reference component-export surface (MLGWSC-1/train.py:723-737):
@@ -126,7 +129,27 @@ def build_signal_vs_noise(
         scores = jax.nn.sigmoid(logits.reshape(-1))
         return loss, {"scores": scores, "labels": labels}
 
-    return Task("signal_vs_noise", cfg, acfg, frozen, trainable, loss_fn, forward)
+    def embed(trainable, frozen, strain):
+        """Pre-head embedding for InfoNCE pretraining: resample -> mel ->
+        encoder per detector -> concat (the exact representation the
+        supervised head consumes)."""
+        audio = resample_timeseries(strain, input_sample_rate, 16000)
+        if audio.ndim == 2:
+            audio = audio[:, None, :]
+        enc = trainable.get("encoder", frozen.get("encoder"))
+        embs = [
+            encode_embedding(
+                cfg, enc,
+                whisper_log_mel(audio[:, i], pad_to=n_frames * 160, num_frames=n_frames),
+                trainable.get("adapters"))
+            for i in range(n_detectors)
+        ]
+        import jax.numpy as jnp
+
+        return jnp.concatenate(embs, axis=-1)
+
+    return Task("signal_vs_noise", cfg, acfg, frozen, trainable, loss_fn, forward,
+                embed=embed)
 
 
 def build_glitch(
@@ -229,4 +252,18 @@ def build_mlgwsc(
         loss = reg_bce(probs, y)
         return loss, {"scores": probs[:, 0], "labels": y[:, 0]}
 
-    return Task("mlgwsc", cfg, acfg, frozen, trainable, loss_fn, forward, qcfg=qcfg)
+    def embed(trainable, frozen, strain):
+        """Pre-head embedding (ContrastivePretrainer surface): Q-adapter ->
+        encoder per detector -> concat, detectors folded into the batch."""
+        import jax.numpy as jnp
+
+        B = strain.shape[0]
+        D = qcfg.n_detectors
+        feats = qadapter_apply(qcfg, trainable["qadapter"], strain)
+        folded = feats.reshape(B * D, *feats.shape[2:])
+        enc = trainable.get("encoder", frozen.get("encoder"))
+        emb = encode_embedding(cfg, enc, folded, trainable.get("adapters"))
+        return emb.reshape(B, D * emb.shape[-1])
+
+    return Task("mlgwsc", cfg, acfg, frozen, trainable, loss_fn, forward, qcfg=qcfg,
+                embed=embed)

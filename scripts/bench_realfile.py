@@ -32,7 +32,7 @@ def main():
     enc = config_for("tiny", compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
                      use_flash_attention=on_tpu, fused_block=on_tpu,
                      gelu_approx=True, max_positions=target // 2)
-    qcfg = QAdapterConfig(median_stride=8, target_shape=(80, target), time_decimation=4)
+    qcfg = QAdapterConfig(median_stride=8, target_shape=(80, target))
     task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc, qcfg=qcfg, usr=True)
 
     with h5py.File(path) as f:

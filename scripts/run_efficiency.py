@@ -1,0 +1,184 @@
+"""Reference-scale Efficiency_test run: corpus -> InfoNCE pretrain -> DoRA
+supervised training -> TAP-vs-SNR efficiency table.
+
+Reproduces the reference recipe at its shipped settings
+(Efficiency_test/src/pars.py + scheduler_pars.py): 100k unit-SNR whitened
+BBH waveforms + 200k noise realizations per epoch, FIXED SNR range U(5, 15)
+(the shipped scheduler_pars has snr_steps = 0 — no descending ladder),
+DoRA k/v r=8 alpha=32 on whisper-tiny, AdamW, <=75 epochs with early
+stopping; efficiency thresholds from 400k pure-noise scores
+(test_pure_noises = [0, 400000], pars.py) at FAPs 1e-1..1e-4, TAP measured
+on 100k injections per SNR in {5,7,9,11,13,15}
+(out_efficiencies_run_0000_epoch_0055.txt is the baseline table).
+
+Where the reference starts from the SPEECH-pretrained Whisper encoder
+(zero-egress here), the encoder is InfoNCE-pretrained on the same corpus
+(ContrastivePretrainer, train_full_encoder=True) — the proven gwkit proxy.
+
+Geometry: n_frames=128 — 1 s of strain occupies ~100 mel frames after the
+2048->16k resample, so 128 frames carry the ENTIRE signal content of the
+reference's zero-padded (80,3000) input at ~23x less encoder compute
+(docs/PERF.md production-geometry rationale; same-AUC evidence in
+scripts/train_demo.py).
+
+Stages are resumable: each writes an artifact and is skipped if it exists.
+    python scripts/run_efficiency.py --outdir docs/results/efficiency_run
+"""
+import argparse
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--outdir", default="docs/results/efficiency_run")
+    p.add_argument("--datadir", default="/root/eff_data")
+    p.add_argument("--n-train-noises", type=int, default=200_000)
+    p.add_argument("--n-valid-noises", type=int, default=20_000)
+    p.add_argument("--n-test-noises", type=int, default=400_000)
+    p.add_argument("--n-test-waves", type=int, default=100_000)
+    p.add_argument("--pretrain-steps", type=int, default=15_000)
+    p.add_argument("--pretrain-batch", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=75)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--learning-rate", type=float, default=1e-4)
+    p.add_argument("--n-frames", type=int, default=128)
+    p.add_argument("--eval-batch", type=int, default=1024)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def ensure_corpus(args):
+    from gwkit.data.generate import generate_training_set
+
+    train_path = os.path.join(args.datadir, "eff_train.hdf")
+    test_path = os.path.join(args.datadir, "eff_test.hdf")
+    os.makedirs(args.datadir, exist_ok=True)
+    if not os.path.exists(train_path):
+        t0 = time.time()
+        generate_training_set(
+            train_path, n_train=args.n_train_noises, n_valid=args.n_valid_noises,
+            waveform_fraction=0.5, detectors=("H1",), seed=100 + args.seed,
+        )
+        logging.info("train corpus in %.0fs", time.time() - t0)
+    if not os.path.exists(test_path):
+        t0 = time.time()
+        generate_training_set(
+            test_path, n_train=args.n_test_noises, n_valid=0,
+            waveform_fraction=args.n_test_waves / args.n_test_noises,
+            detectors=("H1",), seed=200 + args.seed,
+        )
+        logging.info("test corpus in %.0fs", time.time() - t0)
+    return train_path, test_path
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    args = parse_args(argv)
+    train_path, test_path = ensure_corpus(args)
+
+    import h5py
+    import jax
+    import jax.numpy as jnp
+
+    from gwkit.data.datasets import InjectionDataset
+    from gwkit.models.adapters import AdapterConfig
+    from gwkit.models.whisper import config_for
+    from gwkit.train.checkpoints import load_pytree
+    from gwkit.train.pretrain import ContrastivePretrainer
+    from gwkit.train.tasks import build_signal_vs_noise
+    from gwkit.train.trainer import TrainConfig, Trainer
+
+    os.makedirs(args.outdir, exist_ok=True)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    enc_cfg = config_for("tiny", compute_dtype=dtype, fused_block=on_tpu,
+                         use_flash_attention=on_tpu, gelu_approx=True)
+    acfg = AdapterConfig(r=8, alpha=32, use_dora=True, targets="kv")
+
+    def make_task(encoder_params=None):
+        return build_signal_vs_noise(
+            jax.random.PRNGKey(args.seed), encoder=enc_cfg, acfg=acfg,
+            encoder_params=encoder_params, input_sample_rate=2048,
+            n_frames=args.n_frames, n_detectors=1,
+        )
+
+    with h5py.File(train_path, "r") as f:
+        train_ds = InjectionDataset.load(f, "training", snr_range=(5.0, 15.0))
+        valid_ds = InjectionDataset.load(f, "validation", snr_range=(5.0, 15.0))
+
+    # ---- stage 1: InfoNCE pretrain of the full encoder (speech-weight proxy)
+    enc_ckpt = os.path.join(args.outdir, "encoder_pretrained.npz")
+    like_task = make_task()
+    if not os.path.exists(enc_ckpt):
+        pre = ContrastivePretrainer(like_task, lr=1e-4, temperature=0.1,
+                                    train_full_encoder=True, seed=args.seed)
+        t0 = time.time()
+        pre.train(train_ds.noises, train_ds.waveforms, steps=args.pretrain_steps,
+                  batch_size=args.pretrain_batch, snr_range=(5.0, 15.0),
+                  outdir=args.outdir, seed=args.seed, log_every=500)
+        logging.info("pretrain %d steps in %.0fs", args.pretrain_steps, time.time() - t0)
+    enc_like = {"adapters": like_task.trainable["adapters"],
+                "encoder": like_task.frozen["encoder"]}
+    pretrained = load_pytree(enc_ckpt, enc_like)[0]["encoder"]
+
+    # ---- stage 2: supervised DoRA training (reference pars.py settings)
+    task = make_task(encoder_params=pretrained)
+    run_dir = os.path.join(args.outdir, "run_0000")
+    best_ckpt = os.path.join(run_dir, "best.npz")
+    if not os.path.exists(best_ckpt):
+        trainer = Trainer(
+            task.loss_fn, task.trainable, task.frozen,
+            TrainConfig(learning_rate=args.learning_rate, epochs=args.epochs,
+                        batch_size=args.batch_size, early_stop_patience=10,
+                        optimizer="adamw", clip_norm=0.0, seed=args.seed),
+            export_components=task.export_components,
+        )
+        trainer.fit(
+            lambda k: train_ds.batches(k, args.batch_size),
+            lambda k: valid_ds.batches(k, args.batch_size, shuffle=False,
+                                       drop_remainder=False),
+            outdir=run_dir, force=True,
+        )
+    best = load_pytree(best_ckpt, task.trainable)[0]
+
+    # free the train corpus before loading the 400k-noise threshold set
+    del train_ds, valid_ds
+
+    # ---- stage 3: efficiency table (EfficiencyEstimator semantics)
+    from gwkit.evaluation.efficiency import EfficiencyEstimator, write_efficiency_table
+
+    with h5py.File(test_path, "r") as f:
+        g = f["training"]
+        test_waves = g["waveforms"][()]
+        test_noises = g["noises"][()]
+    wave_ds = InjectionDataset(noises=test_noises[: len(test_waves)],
+                               waveforms=test_waves)
+    noise_ds = InjectionDataset(noises=test_noises,
+                                waveforms=np.zeros((0,) + test_noises.shape[1:], np.float32))
+
+    @jax.jit
+    def score_fn(x):
+        return task.forward(best, task.frozen, x).reshape(-1)
+
+    snrs = [5.0, 7.0, 9.0, 11.0, 13.0, 15.0]
+    faps = (1e-1, 1e-2, 1e-3, 1e-4)
+    est = EfficiencyEstimator(wave_ds, noise_ds, snrs, batch_size=args.eval_batch,
+                              faps=faps)
+    t0 = time.time()
+    eff = est(score_fn, seed=args.seed)
+    logging.info("efficiency sweep in %.0fs", time.time() - t0)
+    table = os.path.join(args.outdir, "out_efficiencies_best.txt")
+    write_efficiency_table(table, snrs, faps, eff)
+    with open(table) as f:
+        print(f.read())
+
+
+if __name__ == "__main__":
+    main()

@@ -200,3 +200,42 @@ def test_qadapter_cnn_matches_torch(rng):
     x = x.reshape(3, 2, *cfg.target_shape)
     x = x * params["film_gamma"][None, :, None, None] + params["film_beta"][None, :, None, None]
     np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_qscan_native_grids_match_dense_reference(rng):
+    """The production path (per-row-native bucketed iFFTs + 2-tap gather
+    interpolation + deferred normalization) must match a plain numpy
+    reference built from the same bucket tables with np.fft.ifft and DENSE
+    bilinear-interpolation matrices — covering both the MXU iDFT branch
+    (L <= 1024) and the XLA-FFT branch (the q_range (4,128) @ 1 s/2048 Hz
+    plan has rows up to L = 2048)."""
+    from gwkit.ops.qtransform import _bilinear_matrix
+
+    plan = make_qplan(1.0, 2048.0, (4.0, 128.0), (64, 64))
+    lengths = sorted(b.length for b in plan.buckets)
+    assert lengths[0] <= 1024 < lengths[-1]  # both branches exercised
+    x = rng.normal(size=(2, 2048)).astype(np.float32)
+    got = np.asarray(qscan(jnp.asarray(x), plan))
+
+    fs = np.fft.rfft(x.astype(np.float64))
+    R = sum(plan.n_rows)
+    tinterp = np.zeros((2, R, 64))
+    rowmax = np.zeros((2, R))
+    for b in plan.buckets:
+        spec = fs[:, b.gather_idx] * b.gather_weight
+        e = np.abs(np.fft.ifft(spec, axis=-1)) ** 2
+        den = np.maximum(np.median(e, axis=-1, keepdims=True), 1e-30)
+        ti = _bilinear_matrix(b.length, 64).T
+        tinterp[:, b.rows] = (e @ ti) / den
+        rowmax[:, b.rows] = e.max(-1) / den[..., 0]
+    specs, peaks = [], []
+    offset = 0
+    for p_i, nr in enumerate(plan.n_rows):
+        rows = tinterp[:, offset:offset + nr]
+        specs.append(np.einsum("fr,brt->bft", plan.freq_interp[p_i], rows))
+        peaks.append(rowmax[:, offset:offset + nr].max(-1))
+        offset += nr
+    stacked = np.stack(specs, 1)
+    best = np.argmax(np.stack(peaks, 1), 1)
+    want = stacked[np.arange(2), best]
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
