@@ -126,7 +126,15 @@ def _attn_block_kernel(
     # (matmul is linear in p), T/hd-fold fewer divisions.
     d = h_s.shape[1]
     hd = d // n_heads
-    key_mask = jax.lax.broadcasted_iota(jnp.int32, (block_q, tp), 1) < t_valid
+    # Key-padding mask: tp = ceil(T/128)*128, so the masked tail always sits
+    # inside the FINAL 128-column tile. The softmax therefore splits into an
+    # unmasked main span [0, k1) and a 128-wide masked tail — one (bq, 128)
+    # `where` instead of a full (bq, tp) masking pass (exact same math).
+    k1 = (t_valid // 128) * 128 if t_valid < tp else tp
+    tail_mask = None
+    if k1 < tp:
+        tail_mask = (jax.lax.broadcasted_iota(jnp.int32, (block_q, tp - k1), 1)
+                     + k1) < t_valid
     for hi in range(n_heads):  # head slices are static (lane-aligned offsets)
         kh = k_s[:, hi * hd:(hi + 1) * hd]
         vh = v_s[:, hi * hd:(hi + 1) * hd]
@@ -142,8 +150,7 @@ def _attn_block_kernel(
             scores = jax.lax.dot_general(
                 qb, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
             if ablate == "nosoftmax":
-                p = scores.astype(dt)
-                denom = 1.0
+                o = _dot(scores.astype(dt), vh)
             else:
                 # exact per-row max shift (reference softmax semantics at ANY
                 # score scale): after the shift every exponent is <= 0, so p
@@ -151,13 +158,31 @@ def _attn_block_kernel(
                 # contributes exp(0)) — NaN/Inf are impossible by construction.
                 # A constant-shift variant (round 2) saved the (bq, T) max
                 # reduce but silently diverged for |scores| > ~60 (clamp) or
-                # rows entirely below ~-67 (bf16 underflow -> denom 0 -> NaN);
-                # correctness wins, measured cost ~2-3% per layer.
-                scores = jnp.where(key_mask, scores, -jnp.inf)
-                m = jnp.max(scores, axis=-1, keepdims=True)
-                p = jnp.exp((scores - m).astype(dt))
-                denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
-            o = _dot(p, vh) / denom
+                # rows entirely below ~-67 (bf16 underflow -> denom 0 -> NaN).
+                if tail_mask is None:
+                    m = jnp.max(scores, axis=-1, keepdims=True)
+                    p = jnp.exp((scores - m).astype(dt))
+                    denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+                    o = _dot(p, vh) / denom
+                elif k1 == 0:  # T < 128: the single tile IS the masked tail
+                    s_tail = jnp.where(tail_mask, scores, -jnp.inf)
+                    m = jnp.max(s_tail, axis=-1, keepdims=True)
+                    p = jnp.exp((s_tail - m).astype(dt))
+                    denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+                    o = _dot(p, vh) / denom
+                else:
+                    s_main = jax.lax.slice_in_dim(scores, 0, k1, axis=1)
+                    s_tail = jnp.where(
+                        tail_mask, jax.lax.slice_in_dim(scores, k1, tp, axis=1),
+                        -jnp.inf)
+                    m = jnp.maximum(
+                        jnp.max(s_main, axis=-1, keepdims=True),
+                        jnp.max(s_tail, axis=-1, keepdims=True))
+                    p_main = jnp.exp((s_main - m).astype(dt))
+                    p_tail = jnp.exp((s_tail - m).astype(dt))
+                    denom = (jnp.sum(p_main, axis=-1, keepdims=True, dtype=jnp.float32)
+                             + jnp.sum(p_tail, axis=-1, keepdims=True, dtype=jnp.float32))
+                    o = (_dot(p_main, vh[:k1]) + _dot(p_tail, vh[k1:])) / denom
             o_ref[0, pl.ds(qi * block_q, block_q), hi * hd:(hi + 1) * hd] = o.astype(dt)
             return 0
 
