@@ -65,14 +65,17 @@ def challenge_distribution(dataset: int) -> SourceDistribution:
     """The four challenge injection populations (ds{1-4}.ini semantics:
     masses U(10,50), chirp-distance-uniform; ds1 non-spinning, ds2 aligned
     spins U(-0.99, 0.99), ds3/4 isotropic spin vectors with magnitude
-    U(0, 0.99) — seen through the aligned-spin projection here since
-    IMRPhenomD is the approximant; cf. MLGWSC-1/generate_data.py:768-771)."""
+    U(0, 0.99) carried through the PhenomP precession twist
+    ('imrphenomp', gwkit.data.imrphenomp) — mirroring the reference's
+    IMRPhenomD-for-aligned / IMRPhenomXPHM-for-precessing approximant
+    split (MLGWSC-1/gen.py:131-147, generate_data.py:768-771)."""
     if dataset == 1:
         return SourceDistribution()
     if dataset == 2:
         return SourceDistribution(spin_max=0.99)
     if dataset in (3, 4):
-        return SourceDistribution(spin_max=0.99, isotropic_spins=True)
+        return SourceDistribution(spin_max=0.99, isotropic_spins=True,
+                                  approximant="imrphenomp")
     raise ValueError(f"unknown challenge dataset {dataset}")
 
 
