@@ -28,6 +28,7 @@ sqrt(c) on the host. SNR is invariant under this joint rescaling.
 from __future__ import annotations
 
 import logging
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import h5py
@@ -412,7 +413,8 @@ def generate_training_set(
     n_noise_gen = n_window + 2 * pad
     psd_noise_n, _ = _normalized_psd(psd_name, n_noise_gen, sample_rate, f_lower - 2.0)
 
-    with h5py.File(output_path, "w") as f:
+    tmp_path = output_path + ".tmp"
+    with h5py.File(tmp_path, "w") as f:
         for group, count in (("training", n_train), ("validation", n_valid)):
             n_waves = int(count * waveform_fraction)
             params = distribution.sample(rng, n_waves)
@@ -423,8 +425,15 @@ def generate_training_set(
             mfl_dur = min(4.0, wave_duration / 4.0)
             mfl = int(mfl_dur * sample_rate)
             tc_frac = 0.5
-            for s in range(0, n_waves, 64):
-                sl = slice(s, min(s + 64, n_waves))
+            # batch 512 (not 64): at reference scale (100k+ waveforms) the
+            # per-dispatch RPC on a tunneled TPU dominates small batches
+            wave_batch = 512
+            t_start = time.time()
+            for s in range(0, n_waves, wave_batch):
+                sl = slice(s, min(s + wave_batch, n_waves))
+                if s and (s // wave_batch) % 20 == 0:
+                    rate = s / max(time.time() - t_start, 1e-9)
+                    logging.info("%s waveforms: %d/%d (%.0f/s)", group, s, n_waves, rate)
                 # normalized strain units h/sqrt(c): SNR is invariant under the
                 # joint (h/sqrt(c), S/c) rescaling, so optimal_snr against the
                 # normalized PSD is the physical SNR
@@ -450,8 +459,9 @@ def generate_training_set(
             waveforms = np.concatenate(waves) if waves else np.zeros((0, len(detectors), n_window), np.float32)
 
             noise_rows = []
-            for s in range(0, count, 128):
-                b = min(128, count - s)
+            noise_batch = 1024
+            for s in range(0, count, noise_batch):
+                b = min(noise_batch, count - s)
                 key, sub = jax.random.split(key)
                 batch_psd = jnp.broadcast_to(psd_noise_n, (b, len(detectors), psd_noise_n.shape[-1]))
                 noise = colored_noise(sub, n_noise_gen, 1.0 / sample_rate, batch_psd)
@@ -467,3 +477,7 @@ def generate_training_set(
             g.create_dataset("waveforms", data=waveforms.astype(np.float32))
             g.create_dataset("noises", data=noises.astype(np.float32))
             logging.info("%s: %d waveforms, %d noises", group, len(waveforms), len(noises))
+    # atomic publish: an interrupted generation must not look like a corpus
+    import os as _os
+
+    _os.replace(tmp_path, output_path)

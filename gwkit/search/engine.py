@@ -51,11 +51,19 @@ def score_segments(
     detectors: Optional[List[str]] = None,
     verbose: bool = False,
     mesh=None,
+    fuse_blocks: bool = True,
 ) -> SearchResult:
     """Run ``score_fn(windows (B,D,L)) -> scores (B,)`` over every segment.
 
     Returns per-segment trigger lists ([time, score] with score > threshold)
     plus the concatenated raw score stream (all_vals debug surface).
+
+    ``fuse_blocks``: long (blocked) segments run whiten + window gather +
+    ALL per-batch forwards of each 256 s block as ONE jit dispatch
+    (DeviceSlicer.fused_scores) — on tunneled TPUs the per-dispatch RPC
+    round trip dominates the month-scale search (docs/PERF.md lever 5).
+    Disabled automatically when a mesh resharding hook is requested (the
+    unfused path places each batch explicitly).
 
     ``mesh``: optional jax Mesh — window batches are resharded over its
     "data" axis before scoring, so one host's whitened segment fans out over
@@ -92,12 +100,16 @@ def score_segments(
         # dispatch every batch asynchronously; block once per segment so the
         # device pipeline stays full (per-batch np.asarray would sync-stall)
         pending = []
-        for windows, times, valid in slicer.batches():
-            if batch_sharding is not None:
-                import jax
+        if fuse_blocks and batch_sharding is None and getattr(slicer, "_blocked", False):
+            for dev_scores, times, valid in slicer.fused_scores(score_fn):
+                pending.append((dev_scores, times, valid))
+        else:
+            for windows, times, valid in slicer.batches():
+                if batch_sharding is not None:
+                    import jax
 
-                windows = jax.device_put(windows, batch_sharding)
-            pending.append((score_fn(windows), times, valid))
+                    windows = jax.device_put(windows, batch_sharding)
+                pending.append((score_fn(windows), times, valid))
         seg_triggers: List[List[float]] = []
         for dev_scores, times, valid in pending:
             scores = np.asarray(dev_scores).reshape(-1)[: len(valid)]

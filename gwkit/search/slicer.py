@@ -277,6 +277,43 @@ class DeviceSlicer:
             windows = _gather_windows(dss, jnp.asarray(local_starts[idx]), self.cfg.slice_length)
             yield windows, times[widxs[idx]], valid
 
+    def fused_scores(self, score_fn) -> Iterator[Tuple[jnp.ndarray, np.ndarray, np.ndarray]]:
+        """Yield (scores (n_batches, B) device array, times, valid) per
+        whitening block with whiten + window gather + EVERY batch's forward
+        fused into one jit dispatch (lax.scan over the batch axis).
+
+        On tunneled/remote-attached TPUs the per-dispatch RPC round trip —
+        not device time — dominates the month-scale real-file search
+        (docs/PERF.md lever 5); this path issues ONE dispatch per 256 s
+        block instead of ~25 (whiten + per-batch gathers + scores). Only
+        blocked (long) segments take it: every block shares one compiled
+        (n_batches, B) geometry, tail blocks wrap-padded and masked.
+        """
+        assert self._blocked, "fused_scores is the long-segment path"
+        times = self.window_times()
+        b = self.cfg.batch_size
+        n_batches = -(-self.wins_per_block // b)
+        n_raw = self._raw.shape[1]
+        done = 0
+        while done < self.n_windows:
+            g0 = done * self.index_step
+            r_b = min(g0, n_raw - self.block_raw)
+            n_here = min(self.wins_per_block, self.n_windows - done)
+            widxs = np.arange(done, done + n_here)
+            pad = n_batches * b - n_here
+            widxs_p = np.pad(widxs, (0, pad), mode="wrap")
+            valid = np.pad(np.ones(n_here, bool), (0, pad))
+            local = (widxs_p * self.index_step - r_b).astype(np.int32)
+            starts = jnp.asarray(local.reshape(n_batches, b))
+            block = jnp.asarray(self._raw[:, r_b : r_b + self.block_raw])
+            scores = _fused_block_scores(
+                block, starts, score_fn, self.cfg.slice_length, self.white,
+                self.delta_t, self.cfg.segment_duration,
+                self.cfg.max_filter_duration, self.cfg.low_frequency_cutoff,
+            )
+            yield scores, times[widxs_p], valid
+            done += n_here
+
     def batches(self) -> Iterator[Tuple[jnp.ndarray, np.ndarray, np.ndarray]]:
         times = self.window_times()
         if not self._blocked:
@@ -313,9 +350,35 @@ def _whiten_jit(strain, delta_t, segment_duration, max_filter_duration, low_freq
     )
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _gather_windows(dss: jnp.ndarray, starts: jnp.ndarray, slice_length: int) -> jnp.ndarray:
-    """(D, N), (B,) -> (B, D, slice_length) on-device window gather."""
+def _gather_windows_impl(dss: jnp.ndarray, starts: jnp.ndarray, slice_length: int) -> jnp.ndarray:
     offs = jnp.arange(slice_length)
     idx = starts[:, None] + offs[None, :]  # (B, L)
     return jnp.swapaxes(dss[:, idx], 0, 1)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _gather_windows(dss: jnp.ndarray, starts: jnp.ndarray, slice_length: int) -> jnp.ndarray:
+    """(D, N), (B,) -> (B, D, slice_length) on-device window gather."""
+    return _gather_windows_impl(dss, starts, slice_length)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _fused_block_scores(
+    raw, starts, score_fn, slice_length, white, delta_t,
+    segment_duration, max_filter_duration, low_frequency_cutoff,
+):
+    """whiten(raw (D, N)) -> scan over starts (n_batches, B): gather windows
+    and run ``score_fn`` — one dispatch per block. ``score_fn`` is a static
+    argument: the executable caches per (function identity, geometry)."""
+    dss = raw if white else whiten_estimate(
+        raw, delta_t=delta_t, segment_duration=segment_duration,
+        max_filter_duration=max_filter_duration,
+        low_frequency_cutoff=low_frequency_cutoff,
+    )
+
+    def body(carry, st):
+        w = _gather_windows_impl(dss, st, slice_length)
+        return carry, score_fn(w).reshape(-1)
+
+    _, scores = jax.lax.scan(body, 0, starts)
+    return scores  # (n_batches, B)

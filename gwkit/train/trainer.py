@@ -27,6 +27,7 @@ from functools import partial
 from typing import Any, Callable, Iterable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -103,8 +104,16 @@ class Trainer:
         self._eval_step = eval_step
 
     def run_epoch(self, batches: Iterable, key, train: bool = True):
-        """Returns (mean_loss, list_of_aux)."""
-        total, count, auxes = 0.0, 0, []
+        """Returns (mean_loss, list_of_aux).
+
+        Losses/aux stay on device until the epoch ends: a per-step
+        float(loss) would force one host<->device round trip per step,
+        which on a tunneled/remote-attached TPU (~100 ms RTT) dominates
+        training wall-clock — deferring the sync keeps the dispatch
+        pipeline full (same discipline as the search engine's per-segment
+        drain, gwkit/search/engine.py).
+        """
+        losses, auxes = [], []
         for batch in batches:
             key, sub = jax.random.split(key)
             if train:
@@ -113,10 +122,13 @@ class Trainer:
                 )
             else:
                 loss, aux = self._eval_step(self.trainable, batch)
-            total += float(loss)
-            count += 1
-            auxes.append(jax.tree.map(np.asarray, aux))
-        return total / max(count, 1), auxes
+            losses.append(loss)
+            auxes.append(aux)
+        if not losses:
+            return 0.0, []
+        total = float(jnp.sum(jnp.stack(losses)))
+        auxes = [jax.tree.map(np.asarray, a) for a in auxes]
+        return total / len(losses), auxes
 
     def fit(
         self,

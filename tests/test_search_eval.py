@@ -229,3 +229,40 @@ def test_stream_segments_matches_read_segments(tmp_path):
     for a, b in zip(eager, lazy):
         assert a.start_time == b.start_time and a.delta_t == b.delta_t
         np.testing.assert_array_equal(a.strain, b.strain)
+
+
+def test_fused_block_scores_match_batches(rng):
+    """DeviceSlicer.fused_scores (one dispatch per whitening block: whiten +
+    gather + lax.scan over batch forwards) must produce the same scores and
+    times as the per-batch path, including the wrap-padded tail block."""
+    import jax
+    import jax.numpy as jnp
+
+    from gwkit.search.slicer import DeviceSlicer, Segment, SlicerConfig
+
+    strain = rng.normal(size=(2, 4096)).astype(np.float32)
+    seg = Segment(key="s", strain=strain, start_time=3.0, delta_t=1.0 / 256)
+    cfg = SlicerConfig(step_size=0.25, slice_length=256, batch_size=8,
+                       segment_duration=2.0, max_filter_duration=0.5,
+                       low_frequency_cutoff=10.0)
+    score_fn = jax.jit(lambda w: jnp.sum(w.astype(jnp.float32) ** 2, axis=(1, 2)))
+
+    def collect(pairs):
+        scores, times = [], []
+        for s, t, v in pairs:
+            flat = np.asarray(s).reshape(-1)[: len(v)]
+            scores.append(flat[v])
+            times.append(np.asarray(t)[: len(v)][v])
+        return np.concatenate(scores), np.concatenate(times)
+
+    sl_f = DeviceSlicer(seg, cfg, max_block=1024)
+    assert sl_f._blocked, "test needs the blocked long-segment path"
+    got_s, got_t = collect(
+        (s, t, v) for s, t, v in sl_f.fused_scores(score_fn))
+
+    sl_b = DeviceSlicer(seg, cfg, max_block=1024)
+    want_s, want_t = collect(
+        (score_fn(w), t, v) for w, t, v in sl_b.batches())
+
+    np.testing.assert_allclose(got_t, want_t, rtol=0, atol=0)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-6)
