@@ -42,7 +42,9 @@ class EfficiencyEstimator:
         scores = []
         for batch in dataset.batches(key, self.batch_size, shuffle=False, drop_remainder=False):
             scores.append(np.asarray(score_fn(batch[0])).reshape(-1))
-        return np.concatenate(scores)
+        # the final batch is wrap-padded to a static shape — trim the
+        # duplicates so FAP thresholds are quantiles of each sample ONCE
+        return np.concatenate(scores)[: len(dataset)]
 
     def __call__(self, score_fn: Callable, seed: int = 0) -> np.ndarray:
         """Returns efficiencies of shape (len(snrs), len(faps))."""
