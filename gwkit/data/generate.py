@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import logging
 import time
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import h5py
@@ -169,6 +170,94 @@ def _project_injection_batch(
         h = np.stack([np.roll(row, s) for row, s in zip(h, shift)])
         outs.append(h)
     return np.stack(outs, axis=1)
+
+
+def _training_windows_batch(
+    params: Dict[str, np.ndarray],
+    sl: slice,
+    wave_duration: float,
+    sample_rate: float,
+    f_lower: float,
+    scale: float,
+    detectors: Sequence[str],
+    psd_wave_n: jnp.ndarray,
+    mfl_dur: float,
+    s0: int,
+    n_window: int,
+    tc_frac: float,
+    approximant: str,
+) -> np.ndarray:
+    """(B, D, n_window) whitened unit-network-SNR training windows with the
+    ENTIRE pipeline on device — synth (FD), detector projection as
+    sub-sample FD phase delays, SNR normalization, whitening, window crop —
+    so only the final 1 s windows cross the host link. The previous
+    host-side projection shipped the full 16 s hp/hc batches back and forth
+    (~320 MB per 512-batch), which is the wall on a tunneled TPU
+    (~10 MB/s measured: 16 waveforms/s end to end; this path transfers
+    ~4 MB per batch instead)."""
+    sub = {k: v[sl] for k, v in params.items()}
+    b = len(sub["mass1"])
+    fps, fcs, dls = [], [], []
+    for det in detectors:
+        fp, fc = antenna_pattern(det, sub["ra"], sub["dec"], sub["polarization"], sub["tc"])
+        dl = time_delay_from_earth_center(det, sub["ra"], sub["dec"], sub["tc"])
+        fps.append(fp)
+        fcs.append(fc)
+        dls.append(dl)
+    as32 = lambda k, d=0.0: jnp.asarray(sub.get(k, np.full(b, d)), jnp.float32)
+    n = int(wave_duration * sample_rate)
+    out = _training_windows_jit(
+        n, 1.0 / sample_rate, f_lower, approximant, mfl_dur, s0, n_window,
+        float(tc_frac * wave_duration),
+        as32("mass1"), as32("mass2"), as32("distance"), as32("inclination"),
+        as32("coa_phase"), as32("spin1z"), as32("spin2z"),
+        as32("chi_p"), as32("alpha0"),
+        jnp.asarray(np.stack(fps, 1), jnp.float32),
+        jnp.asarray(np.stack(fcs, 1), jnp.float32),
+        jnp.asarray(np.stack(dls, 1), jnp.float32),
+        psd_wave_n, jnp.float32(scale),
+    )
+    return np.asarray(out)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _training_windows_jit(
+    n, delta_t, f_lower, approximant, mfl_dur, s0, n_window, tc_in_window,
+    m1, m2, dist, incl, phic, c1, c2, chip, a0, fp, fc, delay, psd_n, scale,
+):
+    from gwkit.data.waveforms import phenomd_hplus_hcross, taylorf2_hplus_hcross
+
+    delta_f = 1.0 / (n * delta_t)
+    freqs = jnp.arange(n // 2 + 1) * delta_f
+
+    def one(m1i, m2i, di, ii, pci, c1i, c2i, cpi, a0i, fpi, fci, dli):
+        if approximant == "taylorf2":
+            hp, hc = taylorf2_hplus_hcross(
+                freqs, m1i, m2i, di, ii, tc=tc_in_window, phic=pci, f_lower=f_lower)
+        elif approximant == "imrphenomp":
+            from gwkit.data.imrphenomp import phenomp_hplus_hcross
+
+            hp, hc = phenomp_hplus_hcross(
+                freqs, m1i, m2i, c1i, c2i, cpi, di, ii, tc=tc_in_window,
+                phic=pci, alpha0=a0i, f_lower=f_lower)
+        else:
+            hp, hc = phenomd_hplus_hcross(
+                freqs, m1i, m2i, c1i, c2i, di, ii, tc=tc_in_window, phic=pci,
+                f_lower=f_lower)
+        # sub-sample detector delay as an FD phase (replaces host np.roll)
+        phase = jnp.exp(-2j * jnp.pi * freqs[None, :] * dli[:, None])  # (D, F)
+        hdet = (fpi[:, None] * hp[None, :] + fci[:, None] * hc[None, :]) * phase
+        return jnp.fft.irfft(hdet, n, axis=-1) / delta_t  # (D, n)
+
+    h = jax.vmap(one)(m1, m2, dist, incl, phic, c1, c2, chip, a0, fp, fc, delay)
+    h = h * scale
+    snrs = optimal_snr(h, psd_n, delta_t, f_lower)  # (B, D)
+    net = network_snr(snrs, axis=-1)
+    h = h / jnp.maximum(net, 1e-12)[:, None, None]
+    white = whiten_psd(h.reshape(-1, n), psd_n, delta_t,
+                       low_freq_cutoff=f_lower, max_filter_duration=mfl_dur)
+    white = white.reshape(h.shape[0], -1, white.shape[-1])
+    return white[:, :, s0 : s0 + n_window]
 
 
 def _add_injections(
@@ -429,6 +518,11 @@ def generate_training_set(
             # per-dispatch RPC on a tunneled TPU dominates small batches
             wave_batch = 512
             t_start = time.time()
+            # place tc at the window's 0.7 point (Efficiency_test tc_mean)
+            center = int(tc_frac * wave_duration * sample_rate) - mfl
+            tc_pos = int(0.7 * n_window)
+            n_white = n_wave - 2 * mfl
+            s0 = max(0, min(center - tc_pos, n_white - n_window))
             for s in range(0, n_waves, wave_batch):
                 sl = slice(s, min(s + wave_batch, n_waves))
                 if s and (s // wave_batch) % 20 == 0:
@@ -436,26 +530,14 @@ def generate_training_set(
                     logging.info("%s waveforms: %d/%d (%.0f/s)", group, s, n_waves, rate)
                 # normalized strain units h/sqrt(c): SNR is invariant under the
                 # joint (h/sqrt(c), S/c) rescaling, so optimal_snr against the
-                # normalized PSD is the physical SNR
-                strains = _project_injection_batch(
+                # normalized PSD is the physical SNR. Everything device-side;
+                # only the (B, D, n_window) result crosses the host link.
+                waves.append(_training_windows_batch(
                     params, sl, wave_duration, sample_rate, f_lower,
-                    1.0 / np.sqrt(c_wave), detectors, tc_frac=tc_frac,
-                    approximant=distribution.approximant,
-                )
-                batch = jnp.asarray(strains)
-                snrs = optimal_snr(batch, psd_wave_n, 1.0 / sample_rate, f_lower)  # (B, D)
-                net = network_snr(snrs, axis=-1)
-                batch = batch / jnp.maximum(net, 1e-12)[:, None, None]
-                white = whiten_psd(
-                    batch.reshape(-1, n_wave), psd_wave_n, 1.0 / sample_rate,
-                    low_freq_cutoff=f_lower, max_filter_duration=mfl_dur,
-                )
-                white = np.asarray(white).reshape(batch.shape[0], len(detectors), -1)
-                # place tc at the window's 0.7 point (Efficiency_test tc_mean)
-                center = int(tc_frac * wave_duration * sample_rate) - mfl
-                tc_pos = int(0.7 * n_window)
-                s0 = max(0, min(center - tc_pos, white.shape[-1] - n_window))
-                waves.append(white[:, :, s0 : s0 + n_window])
+                    1.0 / np.sqrt(c_wave), detectors, psd_wave_n,
+                    mfl_dur, s0, n_window, tc_frac,
+                    distribution.approximant,
+                ))
             waveforms = np.concatenate(waves) if waves else np.zeros((0, len(detectors), n_window), np.float32)
 
             noise_rows = []
@@ -469,8 +551,8 @@ def generate_training_set(
                     noise.reshape(-1, n_noise_gen), psd_noise_n, 1.0 / sample_rate,
                     low_freq_cutoff=f_lower, max_filter_duration=max_filter_duration,
                 )
-                white = np.asarray(white).reshape(b, len(detectors), -1)
-                noise_rows.append(white[:, :, :n_window])
+                white = white.reshape(b, len(detectors), -1)[:, :, :n_window]
+                noise_rows.append(np.asarray(white))  # crop BEFORE the host link
             noises = np.concatenate(noise_rows)
 
             g = f.create_group(group)
