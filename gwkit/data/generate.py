@@ -553,7 +553,8 @@ def generate_training_set(
                 )
                 white = white.reshape(b, len(detectors), -1)[:, :, :n_window]
                 noise_rows.append(np.asarray(white))  # crop BEFORE the host link
-            noises = np.concatenate(noise_rows)
+            noises = np.concatenate(noise_rows) if noise_rows else \
+                np.zeros((0, len(detectors), n_window), np.float32)
 
             g = f.create_group(group)
             g.create_dataset("waveforms", data=waveforms.astype(np.float32))

@@ -47,6 +47,24 @@ def flat_psd(flen: int, delta_f: float, amplitude: float = 1.0, low_freq_cutoff:
     return psd
 
 
+# Narrow instrumental line families present in every O3 LIGO PSD estimate
+# (public GWOSC O3 line lists): 60 Hz power mains + harmonics, the test-mass
+# suspension-fiber "violin" modes near 500 Hz and their harmonics, and the
+# photon-calibrator lines. Center frequencies differ slightly per detector.
+_PSD_LINES = {
+    "H1": {
+        "mains": 60.0,
+        "violin": (502.0, 1009.0, 1484.0),
+        "cal": (17.1, 16.4, 35.9, 331.9, 1083.7),
+    },
+    "L1": {
+        "mains": 60.0,
+        "violin": (505.0, 1012.0, 1496.0),
+        "cal": (17.3, 16.3, 34.7, 331.3, 434.9, 1083.1),
+    },
+}
+
+
 def psd_variant(
     flen: int,
     delta_f: float,
@@ -58,10 +76,21 @@ def psd_variant(
 
     Stand-in for the challenge's 20 per-detector O3a PSD-estimate files
     (`/root/reference/MLGWSC-1/generate_data.py:332-333` hard-codes cluster
-    paths that do not ship): the ZDHP design curve multiplied by a smooth
-    seeded log-frequency perturbation (a few low-order cosines, ~±25% in
-    ASD) plus an overall sensitivity scale, mimicking run-to-run PSD drift.
-    Real PSD files drop in via :func:`load_psd_file` when available.
+    paths that do not ship). Three measured-PSD features are modeled:
+
+    * broadband drift: the ZDHP design curve times a smooth seeded
+      log-frequency perturbation (low-order cosines, ~±25% in ASD) plus an
+      overall sensitivity scale — run-to-run spectral-shape variation;
+    * the instrumental line forest (:data:`_PSD_LINES`): 60 Hz mains
+      harmonics, violin modes with harmonic clusters, calibration lines —
+      narrow Lorentzian peaks 2–5 decades above the local broadband level,
+      with per-variant amplitude/width jitter (lines wander between PSD
+      estimates in real data, their centers do not);
+    * per-detector asymmetry via detector-keyed line tables and seeds.
+
+    Within-segment non-stationarity is NOT representable by a PSD; ds3's
+    per-segment fresh variant (ChallengePSDSelector) models between-segment
+    drift instead. Real PSD files drop in via :func:`load_psd_file`.
     """
     base = aligo_zdhp_psd(flen, delta_f, low_freq_cutoff)
     f = np.arange(flen) * delta_f
@@ -73,6 +102,34 @@ def psd_variant(
         pert += rng.normal(0.0, 0.12 / k) * np.cos(k * logf + rng.uniform(0, 2 * np.pi))
     level = rng.normal(0.0, 0.15)
     out = base * np.exp(2.0 * (pert + level))  # factor 2: perturb the ASD
+
+    lines = _PSD_LINES.get(detector, _PSD_LINES["H1"])
+    f_nyq = (flen - 1) * delta_f
+    centers, log_amps = [], []
+    for h in range(1, int(f_nyq // lines["mains"]) + 1):
+        centers.append(h * lines["mains"])
+        # mains fundamental strongest, harmonics decay but stay prominent
+        log_amps.append(rng.uniform(3.0, 5.0) - 0.5 * (h - 1))
+    for v in lines["violin"]:
+        # violin modes are split multiplets; model 2-3 close peaks per cluster
+        for _ in range(int(rng.integers(2, 4))):
+            centers.append(v + rng.normal(0.0, 1.5))
+            log_amps.append(rng.uniform(3.0, 6.0))
+    for c in lines["cal"]:
+        centers.append(c)
+        log_amps.append(rng.uniform(2.0, 4.0))
+    line_factor = np.ones(flen)
+    for f0, la in zip(centers, log_amps):
+        if f0 <= low_freq_cutoff or f0 >= f_nyq:
+            continue
+        # Gaussian profile, not Lorentzian: a forest of 1/Δf² tails from
+        # 10^3-10^6-amplitude lines would lift the broadband floor between
+        # lines, which measured PSDs do not show — Gaussian tails vanish a
+        # few linewidths out. Width >= ~one bin so coarse grids still see
+        # the line.
+        sigma = max(rng.uniform(0.05, 0.3), 0.6 * delta_f)
+        line_factor += (10.0 ** la) * np.exp(-0.5 * ((f - f0) / sigma) ** 2)
+    out = out * line_factor
     out[f < low_freq_cutoff] = 0.0
     return out
 

@@ -241,7 +241,11 @@ def main():
                                          secs=time.time() - t)
         write_report()
 
-    run_glitch("dora_pre", pretrained_enc, False, write_artifacts=True)
+    # write_artifacts stays False: the headline glitch artifacts in
+    # docs/results/glitch/ come from the dedicated 58-epoch run
+    # (gwkit.cli.train_glitch) and must not be clobbered by this
+    # shorter ablation arm.
+    run_glitch("dora_pre", pretrained_enc, False, write_artifacts=False)
     run_glitch("full_pre", pretrained_enc, True)
     run_glitch("dora_rand", None, False)
     run_glitch("full_rand", None, True)
