@@ -74,17 +74,20 @@ def _dot(a, b):
 
 
 def _attn_block_kernel(
-    # refs: x, ln1 g/b, per-proj effective (w, bias) for q,k,v,o; out is
-    # x1 = x + o-proj(attention) and doubles as the attention-head
-    # accumulator. DoRA is folded into the DENSE effective weights OUTSIDE
-    # the kernel (O(r d^2) once per call) — in-kernel thin low-rank matmuls
-    # measured ~1.5 ms/layer of pure MXU-underfill overhead.
+    # refs: x, ln1 g/b, concatenated effective qkv projection (w, bias) and
+    # the o projection; out is x1 = x + o-proj(attention) and doubles as
+    # the attention-head accumulator. DoRA is folded into the DENSE
+    # effective weights OUTSIDE the kernel (O(r d^2) once per call) —
+    # in-kernel thin low-rank matmuls measured ~1.5 ms/layer of pure
+    # MXU-underfill overhead. q/k/v are ONE (D, 3D) matmul per row tile
+    # (q_scale and absent biases folded in at build time): one pass over
+    # the LN output instead of three, N=3D lanes per MXU pass.
     x_ref, g1_ref, bb1_ref,
-    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     g2_ref, bb2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref, h_s, q_s, k_s,
     *, n_heads: int, t_valid: int, block_q: int, block_f: int,
-    q_scale: float, bias_flags: tuple, approx: bool, skip_mlp: bool = False,
+    o_bias: bool, approx: bool, skip_mlp: bool = False,
     ablate: str = "",
 ):
     dt = x_ref.dtype
@@ -96,27 +99,23 @@ def _attn_block_kernel(
     n_r = tp // block_r
     assert n_r * block_r == tp and tp % block_q == 0 and tp % block_f == 0, (
         "fused-block tiles must divide the padded length", tp, block_r, block_q, block_f)
+    d = h_s.shape[1]
 
     def rows(i):
         return pl.ds(i * block_r, block_r)
 
-    for ri in range(n_r):  # LN tiles
-        h_s[rows(ri), :] = _ln_f32(x_ref[0, rows(ri), :], g1_ref[...], bb1_ref[...])
+    # LN + fused qkv per row tile (fori_loop: temps allocate once, not per
+    # trip). v overwrites the h tile AFTER it is consumed by the matmul.
+    def ln_qkv_tile(ri, _):
+        sl = rows(ri)
+        hb = _ln_f32(x_ref[0, sl, :], g1_ref[...], bb1_ref[...])
+        y = _dot(hb, wqkv_ref[...]) + bqkv_ref[...].astype(jnp.float32)
+        q_s[sl, :] = y[:, :d].astype(dt)
+        k_s[sl, :] = y[:, d:2 * d].astype(dt)
+        h_s[sl, :] = y[:, 2 * d:].astype(dt)
+        return 0
 
-    def proj_tile(hb, w_ref, b_ref, has_bias, scale=1.0):
-        y = _dot(hb, w_ref[...])
-        if has_bias:
-            y = y + b_ref[...].astype(jnp.float32)
-        return (y * scale).astype(dt)
-
-    for ri in range(n_r):
-        q_s[rows(ri), :] = proj_tile(h_s[rows(ri), :], wq_ref, bq_ref,
-                                     bias_flags[0], scale=q_scale)
-    for ri in range(n_r):
-        k_s[rows(ri), :] = proj_tile(h_s[rows(ri), :], wk_ref, bk_ref, bias_flags[1])
-    for ri in range(n_r):
-        # v overwrites h tile-locally (value computed before the store)
-        h_s[rows(ri), :] = proj_tile(h_s[rows(ri), :], wv_ref, bv_ref, bias_flags[2])
+    jax.lax.fori_loop(0, n_r, ln_qkv_tile, 0)
     v_s = h_s
 
     # attention per head / q-block; head outputs accumulate in o_ref.
@@ -124,7 +123,6 @@ def _attn_block_kernel(
     # the compute dtype's lane rate, and the denominator divides the (bq, hd)
     # OUTPUT of p @ v rather than the (bq, T) probability matrix — same math
     # (matmul is linear in p), T/hd-fold fewer divisions.
-    d = h_s.shape[1]
     hd = d // n_heads
     # Key-padding mask: tp = ceil(T/128)*128, so the masked tail always sits
     # inside the FINAL 128-column tile. The softmax therefore splits into an
@@ -190,10 +188,15 @@ def _attn_block_kernel(
 
     # o-projection + residual -> x1 overwrites the accumulated heads (the
     # o-proj is row-wise, so tile-local read-modify-write is safe)
-    for ri in range(n_r):
-        att = o_ref[0, rows(ri), :]
-        y = proj_tile(att, wo_ref, bo_ref, bias_flags[3])
-        o_ref[0, rows(ri), :] = x_ref[0, rows(ri), :] + y
+    def o_tile(ri, _):
+        sl = rows(ri)
+        y = _dot(o_ref[0, sl, :], wo_ref[...])
+        if o_bias:
+            y = y + bo_ref[...].astype(jnp.float32)
+        o_ref[0, sl, :] = x_ref[0, sl, :] + y.astype(dt)
+        return 0
+
+    jax.lax.fori_loop(0, n_r, o_tile, 0)
 
     if skip_mlp:
         return
@@ -214,7 +217,7 @@ def _attn_block_kernel(
 
 def _attn_only_kernel(
     x_ref, g1_ref, bb1_ref,
-    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     o_ref, h_s, q_s, k_s, **kw,
 ):
     """Attention-block-only variant for the VMEM-fallback path: takes NO MLP
@@ -223,7 +226,7 @@ def _attn_only_kernel(
     resident even with skip_mlp=True)."""
     _attn_block_kernel(
         x_ref, g1_ref, bb1_ref,
-        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+        wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         None, None, None, None, None, None,
         o_ref, h_s, q_s, k_s, skip_mlp=True, **kw)
 
@@ -287,12 +290,23 @@ def _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q=256, block_f
     block_f = _divisor_tile(tp, block_f)
     xp = jnp.pad(x, ((0, 0), (0, tp - T), (0, 0))) if tp != T else x
 
-    flat = [xp, p["attn_ln"]["g"], p["attn_ln"]["b"]]
-    bias_flags = []
+    # Effective projections (DoRA folded). q/k/v concatenate into ONE
+    # (D, 3D) weight with the 1/sqrt(hd) query scale folded into the q
+    # columns (and bias): q = (h@Wq + bq)*s == h@(s*Wq) + s*bq. Projections
+    # without a bias get zeros — adding them is a no-op, and the fused
+    # matmul always adds the concatenated bias.
+    q_scale = (D // n_heads) ** -0.5
+    eff = {}
     for name in ("q", "k", "v", "o"):
-        tensors, has_bias = _effective_proj(p[name], ad.get(name), dt)
-        flat.extend(tensors)
-        bias_flags.append(has_bias)
+        (w_eff, bias), has_bias = _effective_proj(p[name], ad.get(name), dt)
+        eff[name] = (w_eff, bias, has_bias)
+    wqkv = jnp.concatenate(
+        [eff["q"][0].astype(jnp.float32) * q_scale, eff["k"][0].astype(jnp.float32),
+         eff["v"][0].astype(jnp.float32)], axis=1).astype(dt)
+    bqkv = jnp.concatenate(
+        [eff["q"][1] * q_scale, eff["k"][1], eff["v"][1]], axis=0)
+    flat = [xp, p["attn_ln"]["g"], p["attn_ln"]["b"],
+            wqkv, bqkv, eff["o"][0], eff["o"][1]]
     F = p["fc1"]["w"].shape[1]
     flat.extend([
         p["mlp_ln"]["g"], p["mlp_ln"]["b"],
@@ -308,8 +322,7 @@ def _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q=256, block_f
     out = pl.pallas_call(
         functools.partial(
             _attn_block_kernel, n_heads=n_heads, t_valid=T, block_q=block_q,
-            block_f=block_f, q_scale=(D // n_heads) ** -0.5,
-            bias_flags=tuple(bias_flags), approx=approx,
+            block_f=block_f, o_bias=eff["o"][2], approx=approx,
             ablate=__import__("os").environ.get("GWKIT_FUSED_ABLATE", "")),
         out_shape=jax.ShapeDtypeStruct((B, tp, D), dt),
         grid=(B,),
@@ -324,16 +337,15 @@ def _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q=256, block_f
         x1 = pl.pallas_call(
             functools.partial(
                 _attn_only_kernel, n_heads=n_heads, t_valid=T, block_q=block_q,
-                block_f=block_f, q_scale=(D // n_heads) ** -0.5,
-                bias_flags=tuple(bias_flags), approx=approx,
+                block_f=block_f, o_bias=eff["o"][2], approx=approx,
                 ablate=__import__("os").environ.get("GWKIT_FUSED_ABLATE", "")),
             out_shape=jax.ShapeDtypeStruct((B, tp, D), dt),
             grid=(B,),
-            in_specs=in_specs[:11],
+            in_specs=in_specs[:7],
             out_specs=pl.BlockSpec((1, tp, D), lambda b: (b, 0, 0)),
             scratch_shapes=[pltpu.VMEM((tp, D), dt) for _ in range(3)],
             interpret=interpret,
-        )(*flat[:11])
+        )(*flat[:7])
         out = _fused_mlp_impl(
             x1, p["mlp_ln"]["g"], p["mlp_ln"]["b"],
             p["fc1"]["w"].astype(dt), p["fc1"]["b"],
