@@ -45,13 +45,34 @@ class TrainConfig:
     seed: int = 42
     optimizer: str = "adam"  # "adam" (MLGWSC-1) | "adamw" (Signal_vs_Noise)
     weight_decay: float = 0.01
+    # "constant" (reference parity: fixed lr, pars.py lr=1e-4) or "cosine"
+    # (linear warmup over warmup_steps then cosine decay to lr/30 across
+    # total_steps — used by large-batch runs where the reference's batch-32
+    # constant-lr recipe undertrains at the same step count).
+    lr_schedule: str = "constant"
+    warmup_steps: int = 500
+    total_steps: int = 0  # required when lr_schedule != "constant"
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.lr_schedule == "constant":
+        lr = cfg.learning_rate
+    elif cfg.lr_schedule == "cosine":
+        if cfg.total_steps <= 0:
+            raise ValueError("cosine lr_schedule needs cfg.total_steps > 0")
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=cfg.learning_rate / 25.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=min(cfg.warmup_steps, max(cfg.total_steps // 10, 1)),
+            decay_steps=cfg.total_steps,
+            end_value=cfg.learning_rate / 30.0,
+        )
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
     opt = (
-        optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+        optax.adamw(lr, weight_decay=cfg.weight_decay)
         if cfg.optimizer == "adamw"
-        else optax.adam(cfg.learning_rate)
+        else optax.adam(lr)
     )
     if cfg.clip_norm and cfg.clip_norm > 0:
         return optax.chain(optax.clip_by_global_norm(cfg.clip_norm), opt)

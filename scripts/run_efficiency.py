@@ -48,6 +48,16 @@ def parse_args(argv=None):
     p.add_argument("--epochs", type=int, default=75)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--learning-rate", type=float, default=1e-4)
+    p.add_argument("--lr-schedule", default="constant", choices=("constant", "cosine"))
+    p.add_argument("--early-stop", type=int, default=10,
+                   help="patience in epochs; 0 disables (reference runs all "
+                        "75 epochs and picks the best epoch from the "
+                        "per-epoch TAP tables, epoch_0055 in the baseline)")
+    p.add_argument("--run-name", default="run_0000")
+    p.add_argument("--track-tap", action="store_true",
+                   help="per-epoch quick TAP @ SNR 9 on a 20k-noise test "
+                        "slice (the reference's per-epoch efficiency "
+                        "surface, calculate_efficiencies.py)")
     p.add_argument("--n-frames", type=int, default=128)
     p.add_argument("--eval-batch", type=int, default=1024)
     p.add_argument("--seed", type=int, default=0)
@@ -130,21 +140,56 @@ def main(argv=None):
 
     # ---- stage 2: supervised DoRA training (reference pars.py settings)
     task = make_task(encoder_params=pretrained)
-    run_dir = os.path.join(args.outdir, "run_0000")
+    run_dir = os.path.join(args.outdir, args.run_name)
     best_ckpt = os.path.join(run_dir, "best.npz")
     if not os.path.exists(best_ckpt):
+        steps_per_epoch = (200_000 + args.batch_size - 1) // args.batch_size
         trainer = Trainer(
             task.loss_fn, task.trainable, task.frozen,
             TrainConfig(learning_rate=args.learning_rate, epochs=args.epochs,
-                        batch_size=args.batch_size, early_stop_patience=10,
-                        optimizer="adamw", clip_norm=0.0, seed=args.seed),
+                        batch_size=args.batch_size,
+                        early_stop_patience=args.early_stop or args.epochs,
+                        optimizer="adamw", clip_norm=0.0, seed=args.seed,
+                        lr_schedule=args.lr_schedule,
+                        total_steps=steps_per_epoch * args.epochs),
             export_components=task.export_components,
         )
+        tap_cb = None
+        if args.track_tap:
+            # counts padded to eval_batch multiples: one compiled geometry
+            n_n = (20_000 // args.eval_batch) * args.eval_batch
+            n_w = (5_000 // args.eval_batch) * args.eval_batch
+            with h5py.File(test_path, "r") as f:
+                tap_noises = jnp.asarray(f["training/noises"][:n_n])
+                tap_waves = jnp.asarray(f["training/waveforms"][:n_w])
+
+            @jax.jit
+            def _tap_scores(trainable, x):
+                return task.forward(trainable, task.frozen, x).reshape(-1)
+
+            def _run_scores(trainable, x):
+                return np.concatenate([
+                    np.asarray(_tap_scores(trainable, x[i : i + args.eval_batch]))
+                    for i in range(0, len(x), args.eval_batch)
+                ])
+
+            def tap_cb(epoch, trainable, val_aux):
+                ns = _run_scores(trainable, tap_noises)
+                inj = tap_noises[: len(tap_waves)] + 9.0 * tap_waves
+                ss = _run_scores(trainable, inj)
+                out = {}
+                for fap in (1e-2, 1e-3):
+                    thr = np.quantile(ns, 1 - fap)
+                    out[f"tap_snr9_fap{fap:g}"] = float((ss > thr).mean())
+                logging.info("epoch %04d quick-TAP @ SNR9: %.3f (FAP 1e-2) %.3f (1e-3)",
+                             epoch, out["tap_snr9_fap0.01"], out["tap_snr9_fap0.001"])
+                return out
+
         trainer.fit(
             lambda k: train_ds.batches(k, args.batch_size),
             lambda k: valid_ds.batches(k, args.batch_size, shuffle=False,
                                        drop_remainder=False),
-            outdir=run_dir, force=True,
+            outdir=run_dir, force=True, eval_callback=tap_cb,
         )
     best = load_pytree(best_ckpt, task.trainable)[0]
 
