@@ -292,7 +292,6 @@ class DeviceSlicer:
         assert self._blocked, "fused_scores is the long-segment path"
         times = self.window_times()
         b = self.cfg.batch_size
-        n_batches = -(-self.wins_per_block // b)
         n_raw = self._raw.shape[1]
         done = 0
         while done < self.n_windows:
@@ -300,6 +299,12 @@ class DeviceSlicer:
             r_b = min(g0, n_raw - self.block_raw)
             n_here = min(self.wins_per_block, self.n_windows - done)
             widxs = np.arange(done, done + n_here)
+            # pad the tail block to BATCH granularity only (one extra scan-
+            # length compile per distinct tail size): padding it to the full
+            # block geometry kept a single compiled shape but scored up to
+            # n_batches*b - n_here throwaway windows — ~25% of device time
+            # on a 600 s segment (the round-3 strict-bench regression).
+            n_batches = -(-n_here // b)
             pad = n_batches * b - n_here
             widxs_p = np.pad(widxs, (0, pad), mode="wrap")
             valid = np.pad(np.ones(n_here, bool), (0, pad))
