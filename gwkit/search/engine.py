@@ -28,6 +28,33 @@ from gwkit.search.cluster import get_clusters
 from gwkit.search.slicer import DeviceSlicer, Segment, SlicerConfig, read_segments, stream_segments
 
 
+# get_triggers used to build a fresh ``@jax.jit`` closure per call, which
+# defeated jit caching ACROSS calls: the fused block path keys its executable
+# cache on the score_fn's identity (it is a static argument), so every
+# repeat search of the same file recompiled the whole scan graph — ~40 s on
+# a remote-compile relay, measured as the round-3 real-file "warm" collapse
+# (217x -> 101x). Entries hold strong references, so the id()-keyed lookup
+# cannot collide with recycled ids while an entry is alive.
+_SCORE_FN_CACHE: "dict[tuple, tuple]" = {}
+
+
+def _cached_score_fn(task, tid, frid, trainable, frozen):
+    key = (id(task), tid, frid)
+    hit = _SCORE_FN_CACHE.get(key)
+    if hit is not None:
+        return hit[3]
+
+    @jax.jit
+    def score_fn(windows):
+        out = task.forward(trainable, frozen, windows)
+        return out[:, 0]
+
+    if len(_SCORE_FN_CACHE) >= 8:  # bound stale weight retention
+        _SCORE_FN_CACHE.pop(next(iter(_SCORE_FN_CACHE)))
+    _SCORE_FN_CACHE[key] = (task, trainable, frozen, score_fn)
+    return score_fn
+
+
 @dataclasses.dataclass
 class SearchResult:
     triggers: Dict[str, List[List[float]]]
@@ -164,11 +191,7 @@ def get_triggers(
     """
     trainable = trainable if trainable is not None else task.trainable
     frozen = task.frozen
-
-    @jax.jit
-    def score_fn(windows):
-        out = task.forward(trainable, frozen, windows)
-        return out[:, 0]
+    score_fn = _cached_score_fn(task, id(trainable), id(frozen), trainable, frozen)
 
     if stream is None:
         from gwkit.search.slicer import native_streamable
