@@ -188,6 +188,13 @@ def get_triggers(
     scores a round-robin share of the segments and the per-segment trigger
     lists are gathered through ``shard_dir`` (a shared filesystem path);
     ``all_vals`` stays host-local (debug surface only).
+
+    The jitted scoring closure is cached per (task, trainable, frozen)
+    OBJECT identity, so repeat calls reuse compiled executables (a fresh
+    closure per call forced a full recompile of the fused scan graph —
+    the round-3 "warm" real-file regression). Pass a NEW pytree object to
+    score with different weights; in-place mutation of a previously used
+    pytree's leaves would hit the stale cache entry.
     """
     trainable = trainable if trainable is not None else task.trainable
     frozen = task.frozen
