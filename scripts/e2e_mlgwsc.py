@@ -11,7 +11,11 @@ summary line. This is the full reference workflow (train.py -> inference.py
 -> evaluate.py) on gwkit's TPU stack.
 
 Env: E2E_TRAIN (default 6144), E2E_EPOCHS (12), E2E_DURATION (7200 s),
-E2E_OUT (artifact dir, default /tmp/e2e_mlgwsc).
+E2E_OUT (artifact dir, default /tmp/e2e_mlgwsc), E2E_SNR_LO/E2E_SNR_HI
+(training injection band, default 7/20 — the efficiency run showed the
+encoder trains cleanly down to SNR 5, which is where challenge injections
+at Gpc distances live), E2E_PRETRAIN (InfoNCE steps on the same corpus
+before supervised training, default 0 = off).
 """
 import os
 import sys
@@ -57,9 +61,11 @@ def main():
         generate_training_set(corpus, n_train=n_train, n_valid=n_train // 4, seed=3,
                               wave_duration=16.0)
         print(f"corpus in {time.time()-t0:.0f}s")
+    snr_lo = float(os.environ.get("E2E_SNR_LO", "7"))
+    snr_hi = float(os.environ.get("E2E_SNR_HI", "20"))
     with h5py.File(corpus) as f:
-        train_ds = InjectionDataset.load(f, "training", snr_range=(7.0, 20.0))
-        valid_ds = InjectionDataset.load(f, "validation", snr_range=(7.0, 20.0))
+        train_ds = InjectionDataset.load(f, "training", snr_range=(snr_lo, snr_hi))
+        valid_ds = InjectionDataset.load(f, "validation", snr_range=(snr_lo, snr_hi))
 
     # ---- 2. train ----
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -67,9 +73,32 @@ def main():
                      use_flash_attention=on_tpu, fused_block=on_tpu, remat=True,
                      gelu_approx=on_tpu, max_positions=target_frames // 2)
     qcfg = QAdapterConfig(median_stride=8, target_shape=(80, target_frames))
+    encoder_params = None
+    pretrain_steps = int(os.environ.get("E2E_PRETRAIN", "0"))
+    if pretrain_steps:
+        from gwkit.train.checkpoints import load_pytree
+        from gwkit.train.pretrain import ContrastivePretrainer
+
+        pre_task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc,
+                                acfg=AdapterConfig(r=8, alpha=32, use_dora=True,
+                                                   targets="qkvo"), qcfg=qcfg)
+        enc_ckpt = os.path.join(out, "encoder_pretrained.npz")
+        if os.path.isfile(enc_ckpt):
+            encoder_params = jax.tree.map(
+                np.asarray, load_pytree(enc_ckpt, pre_task.frozen["encoder"])[0])
+            print(f"reusing pretrained encoder from {enc_ckpt}")
+        else:
+            t0 = time.time()
+            pre = ContrastivePretrainer(pre_task, lr=1e-4, temperature=0.1,
+                                        train_full_encoder=True, seed=0)
+            pre.train(np.asarray(train_ds.noises), np.asarray(train_ds.waveforms),
+                      steps=pretrain_steps, batch_size=256,
+                      snr_range=(snr_lo, snr_hi), outdir=out, log_every=500)
+            encoder_params = jax.tree.map(np.asarray, pre_task.frozen["encoder"])
+            print(f"pretrained {pretrain_steps} steps in {time.time()-t0:.0f}s")
     task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc,
                         acfg=AdapterConfig(r=8, alpha=32, use_dora=True, targets="qkvo"),
-                        qcfg=qcfg)
+                        qcfg=qcfg, encoder_params=encoder_params)
     trainer = Trainer(
         task.loss_fn, task.trainable, task.frozen,
         TrainConfig(learning_rate=3e-4, clip_norm=100.0, epochs=epochs, batch_size=64,
@@ -106,7 +135,7 @@ def main():
     # ---- 4. search (trained weights, USR scores) ----
     usr_task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc,
                             acfg=AdapterConfig(r=8, alpha=32, use_dora=True, targets="qkvo"),
-                            qcfg=qcfg, usr=True)
+                            qcfg=qcfg, usr=True, encoder_params=encoder_params)
     usr_task.trainable = trainer.trainable
     for name, path in (("fg", fg), ("bg", bg)):
         triggers, all_vals, result = get_triggers(
