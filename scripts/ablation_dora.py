@@ -95,7 +95,21 @@ def main():
         save_pytree(enc_ckpt, pretrained_enc)
         print(f"pretrained in {time.time()-t0:.0f}s", flush=True)
 
+    # Per-arm result cache: each finished arm is persisted so a crashed or
+    # preempted run resumes without retraining completed arms.
+    import json
+
     results = {}
+    cache_path = os.path.join(out, "results.json")
+    if os.path.isfile(cache_path):
+        with open(cache_path) as f:
+            results.update(json.load(f))
+        print(f"resuming with cached arms: {sorted(results)}", flush=True)
+
+    def save_cache():
+        with open(cache_path + ".tmp", "w") as f:
+            json.dump(results, f, indent=1)
+        os.replace(cache_path + ".tmp", cache_path)
 
     def param_split(task):
         """Per-component trainable counts: the honest accounting behind the
@@ -151,6 +165,9 @@ def main():
 
     # ---- 2. MLGWSC variants ----
     def run_mlgwsc(name, encoder_params, full_finetune):
+        if f"mlgwsc/{name}" in results:
+            print(f"[mlgwsc/{name}] cached — skipping", flush=True)
+            return
         task = build_mlgwsc(jax.random.PRNGKey(1), encoder=enc, acfg=acfg, qcfg=qcfg,
                             encoder_params=encoder_params, full_finetune=full_finetune)
         split, n_tr, n_enc, n_all = param_split(task)
@@ -181,6 +198,7 @@ def main():
                                          trainable=n_tr, frac=n_tr / n_all,
                                          split=split, n_enc=n_enc,
                                          secs=time.time() - t)
+        save_cache()
         write_report()
 
     # ---- 3. Glitch variants (run FIRST: item 6's headline artifacts) ----
@@ -190,6 +208,9 @@ def main():
     g_valid = LabeledDataset(strain[:n_valid], labels[:n_valid])
 
     def run_glitch(name, encoder_params, full_finetune, write_artifacts=False):
+        if f"glitch/{name}" in results:
+            print(f"[glitch/{name}] cached — skipping", flush=True)
+            return
         task = build_glitch(jax.random.PRNGKey(2), encoder=enc, acfg=acfg,
                             encoder_params=encoder_params, full_finetune=full_finetune,
                             n_frames=target)
@@ -239,6 +260,7 @@ def main():
                                          trainable=n_tr, frac=n_tr / n_all,
                                          split=split, n_enc=n_enc,
                                          secs=time.time() - t)
+        save_cache()
         write_report()
 
     # write_artifacts stays False: the headline glitch artifacts in
