@@ -20,6 +20,12 @@ def parse_args(argv=None):
     p.add_argument("--dense-weights", type=str, required=True, help="Head checkpoint (.npz).")
     p.add_argument("--adapter-weights", type=str, required=True, help="Q-adapter checkpoint (.npz).")
     p.add_argument("--hf-checkpoint", type=str, default=None, help="Base encoder weights.")
+    p.add_argument("--pretrained-encoder", type=str, default=None,
+                   help="gwkit encoder pytree (.npz), e.g. the InfoNCE-pretrained "
+                        "encoder — required to serve models trained with one.")
+    p.add_argument("--target-shape", type=int, nargs=2, default=[80, 3000],
+                   help="Q-adapter output geometry; (80, 512) is the production "
+                        "serving geometry, (80, 3000) reference parity.")
     p.add_argument("--encoder", type=str, default="tiny")
     p.add_argument("-t", "--trigger-threshold", type=float, default=-0.5)
     p.add_argument("--step-size", type=float, default=0.1)
@@ -38,6 +44,35 @@ def parse_args(argv=None):
     return parse_with_config(p, argv)
 
 
+def _load_gwkit_encoder(path: str, size: str, enc_cfg):
+    """Load a gwkit encoder pytree (.npz — e.g. the InfoNCE-pretrained
+    encoder) stored at either the default or the serving geometry, and
+    re-pin the fixed sinusoidal position table to the serving geometry
+    (``pos`` is deterministic, so geometry changes are exact)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gwkit.models.whisper import config_for, init_encoder_params, sinusoid_positions
+    from gwkit.train.checkpoints import load_pytree
+
+    params = None
+    for template_cfg in (config_for(size), enc_cfg):
+        template = init_encoder_params(jax.random.PRNGKey(0), template_cfg)
+        try:
+            params, _ = load_pytree(path, template)
+            break
+        except ValueError:
+            continue
+    if params is None:
+        raise ValueError(
+            f"{path}: stored encoder geometry matches neither the default "
+            f"({size}) nor the serving config")
+    params = dict(params)
+    params["pos"] = jnp.asarray(
+        sinusoid_positions(enc_cfg.max_positions, enc_cfg.d_model))
+    return params
+
+
 def load_task_from_components(
     lora_weights: str,
     dense_weights: str,
@@ -46,26 +81,50 @@ def load_task_from_components(
     hf_checkpoint=None,
     usr: bool = True,
     seed: int = 42,
+    pretrained_encoder=None,
+    target_shape=(80, 3000),
 ):
     """build_model parity (inference.py:415-430): assemble the mlgwsc task
-    from exported component checkpoints."""
+    from exported component checkpoints.
+
+    ``pretrained_encoder`` loads a gwkit encoder pytree (the training CLIs'
+    --pretrained-encoder counterpart — without it a model trained on an
+    InfoNCE-pretrained encoder cannot be served). ``target_shape`` selects
+    the Q-adapter geometry ((80, 512) is the production serving geometry;
+    (80, 3000) the reference parity default). On TPU the encoder is built
+    with the same bf16/fused-kernel tuning the training CLIs use."""
     import jax
+    import jax.numpy as jnp
 
     from gwkit.models.adapters import import_peft_dir
+    from gwkit.models.qadapter import QAdapterConfig
     from gwkit.models.whisper import config_for
     from gwkit.train.checkpoints import load_pytree
     from gwkit.train.tasks import build_mlgwsc
 
-    cfg = config_for(encoder)
-    adapters, acfg = import_peft_dir(lora_weights, n_layers=cfg.n_layers)
+    n_frames = int(target_shape[1])
+    on_tpu = jax.devices()[0].platform != "cpu"
+    enc_cfg = config_for(
+        encoder, compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_flash_attention=on_tpu, fused_block=on_tpu, gelu_approx=on_tpu,
+        max_positions=n_frames // 2,
+    )
+    adapters, acfg = import_peft_dir(lora_weights, n_layers=enc_cfg.n_layers)
     encoder_params = None
     if hf_checkpoint:
         from gwkit.models.hf_io import load_hf_encoder
+        from gwkit.models.whisper import sinusoid_positions
 
         _, encoder_params = load_hf_encoder(hf_checkpoint, size=encoder)
+        encoder_params = dict(encoder_params)
+        encoder_params["pos"] = jnp.asarray(  # HF tables are 1500-row
+            sinusoid_positions(enc_cfg.max_positions, enc_cfg.d_model))
+    elif pretrained_encoder:
+        encoder_params = _load_gwkit_encoder(pretrained_encoder, encoder, enc_cfg)
     task = build_mlgwsc(
-        jax.random.PRNGKey(seed), encoder=encoder, acfg=acfg,
+        jax.random.PRNGKey(seed), encoder=enc_cfg, acfg=acfg,
         encoder_params=encoder_params, usr=usr,
+        qcfg=QAdapterConfig(target_shape=(int(target_shape[0]), n_frames)),
     )
     task.trainable["adapters"] = adapters
     task.trainable["head"], _ = load_pytree(dense_weights, task.trainable["head"])
@@ -92,7 +151,8 @@ def main(argv=None):
     task = load_task_from_components(
         args.lora_weights, args.dense_weights, args.adapter_weights,
         encoder=args.encoder, hf_checkpoint=args.hf_checkpoint, usr=not args.softmax,
-        seed=args.seed,
+        seed=args.seed, pretrained_encoder=args.pretrained_encoder,
+        target_shape=tuple(args.target_shape),
     )
     triggers, all_vals, result = get_triggers(
         task, args.inputfile,

@@ -172,8 +172,9 @@ def main():
                             encoder_params=encoder_params, full_finetune=full_finetune)
         split, n_tr, n_enc, n_all = param_split(task)
         # full arms: batch 16 keeps optimizer state + activations inside HBM
-        # at the (80,3000) geometry (round-2 full arm OOM'd at 64)
-        bsz = 16 if full_finetune else 64
+        # at the (80,3000) geometry (round-2 full arm OOM'd at 64);
+        # ABL_FULL_BATCH drops it further on a contended chip
+        bsz = int(os.environ.get("ABL_FULL_BATCH", "16")) if full_finetune else 64
         best = [-1.0]
 
         def cb(epoch, trainable, val_aux):
@@ -215,7 +216,7 @@ def main():
                             encoder_params=encoder_params, full_finetune=full_finetune,
                             n_frames=target)
         split, n_tr, n_enc, n_all = param_split(task)
-        bsz = 16 if full_finetune else 64
+        bsz = int(os.environ.get("ABL_FULL_BATCH", "16")) if full_finetune else 64
         best = [-1.0, -1.0]  # acc, macro f1
 
         def cb(epoch, trainable, val_aux):
@@ -267,16 +268,25 @@ def main():
     # docs/results/glitch/ come from the dedicated 58-epoch run
     # (gwkit.cli.train_glitch) and must not be clobbered by this
     # shorter ablation arm.
-    run_glitch("dora_pre", pretrained_enc, False, write_artifacts=False)
-    run_glitch("full_pre", pretrained_enc, True)
-    run_glitch("dora_rand", None, False)
-    run_glitch("full_rand", None, True)
+    # One arm failing (typically RESOURCE_EXHAUSTED on a contended chip)
+    # must not kill the sweep: record it and keep going; the per-arm cache
+    # lets a retry (e.g. with a smaller ABL_FULL_BATCH) fill the hole.
+    def attempt(fn, *args, **kwargs):
+        try:
+            fn(*args, **kwargs)
+        except Exception as exc:  # noqa: BLE001
+            print(f"ARM FAILED {args[0]}: {type(exc).__name__}: {exc}", flush=True)
+
+    attempt(run_glitch, "dora_pre", pretrained_enc, False, write_artifacts=False)
+    attempt(run_glitch, "full_pre", pretrained_enc, True)
+    attempt(run_glitch, "dora_rand", None, False)
+    attempt(run_glitch, "full_rand", None, True)
 
     # ---- 2. MLGWSC variants (after glitch) ----
-    run_mlgwsc("dora_pre", pretrained_enc, False)
-    run_mlgwsc("full_pre", pretrained_enc, True)
-    run_mlgwsc("dora_rand", None, False)
-    run_mlgwsc("full_rand", None, True)
+    attempt(run_mlgwsc, "dora_pre", pretrained_enc, False)
+    attempt(run_mlgwsc, "full_pre", pretrained_enc, True)
+    attempt(run_mlgwsc, "dora_rand", None, False)
+    attempt(run_mlgwsc, "full_rand", None, True)
 
     # ---- 4. final report ----
     print(write_report())

@@ -92,7 +92,8 @@ def main():
             pre = ContrastivePretrainer(pre_task, lr=1e-4, temperature=0.1,
                                         train_full_encoder=True, seed=0)
             pre.train(np.asarray(train_ds.noises), np.asarray(train_ds.waveforms),
-                      steps=pretrain_steps, batch_size=256,
+                      steps=pretrain_steps,
+                      batch_size=int(os.environ.get("E2E_PRETRAIN_BATCH", "256")),
                       snr_range=(snr_lo, snr_hi), outdir=out, log_every=500)
             encoder_params = jax.tree.map(np.asarray, pre_task.frozen["encoder"])
             print(f"pretrained {pretrain_steps} steps in {time.time()-t0:.0f}s")
@@ -107,6 +108,8 @@ def main():
     )
 
     def eval_metrics(epoch, trainable, val_aux):
+        if not val_aux:  # tiny smokes: fewer valid samples than one batch
+            return {}
         scores = np.concatenate([a["scores"] for a in val_aux])
         labels = np.concatenate([a["labels"] for a in val_aux])
         auc = roc_auc(labels, scores)

@@ -40,7 +40,7 @@ def test_component_round_trip(tmp_path, rng, monkeypatch):
     real_build = tasks_mod.build_mlgwsc
     monkeypatch.setattr(
         "gwkit.cli.inference.build_mlgwsc",
-        lambda key, encoder, acfg, encoder_params, usr: build_small(
+        lambda key, encoder, acfg, encoder_params, usr, qcfg=None: build_small(
             key, acfg=acfg, encoder_params=encoder_params, usr=usr
         ),
         raising=False,
@@ -48,7 +48,7 @@ def test_component_round_trip(tmp_path, rng, monkeypatch):
     # load_task_from_components imports build_mlgwsc inside the function, so
     # patch at the source module instead
     monkeypatch.setattr(tasks_mod, "build_mlgwsc",
-                        lambda key, encoder, acfg, encoder_params, usr: build_small(
+                        lambda key, encoder, acfg, encoder_params, usr, qcfg=None: build_small(
                             key, acfg=acfg, encoder_params=encoder_params, usr=usr))
     # config_for must also yield our tiny cfg for n_layers when importing the dir
     import gwkit.models.whisper as W
@@ -68,3 +68,76 @@ def test_component_round_trip(tmp_path, rng, monkeypatch):
     ref = np.asarray(task.forward(task.trainable, task.frozen, x))
     out = np.asarray(loaded.forward(loaded.trainable, loaded.frozen, x))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_load_gwkit_encoder_repins_positions(tmp_path, monkeypatch):
+    """_load_gwkit_encoder loads a stored-geometry encoder and regenerates
+    the fixed sinusoidal position table at the serving geometry (the npz
+    pretrained-encoder counterpart of inference.py's build_model)."""
+    import dataclasses
+
+    import gwkit.cli.inference as inf
+    import gwkit.models.whisper as W
+    from gwkit.models.whisper import init_encoder_params, sinusoid_positions
+
+    enc = WhisperConfig(d_model=32, n_heads=2, n_layers=2, d_ff=64, max_positions=64)
+    stored = init_encoder_params(jax.random.PRNGKey(3), enc)
+    stored = jax.tree.map(lambda x: x + 0.5, stored)
+    path = str(tmp_path / "enc.npz")
+    save_pytree(path, stored)
+
+    monkeypatch.setattr(W, "config_for", lambda size, **kw: enc)
+    serving_cfg = dataclasses.replace(enc, max_positions=32)
+    loaded = inf._load_gwkit_encoder(path, "tiny", serving_cfg)
+
+    assert loaded["pos"].shape == (32, 32)
+    np.testing.assert_allclose(
+        np.asarray(loaded["pos"]), sinusoid_positions(32, 32), atol=1e-6)
+    for key in stored:
+        if key != "pos":
+            np.testing.assert_allclose(
+                np.asarray(jax.tree.leaves(loaded[key])[0]),
+                np.asarray(jax.tree.leaves(stored[key])[0]))
+
+
+def test_load_task_with_pretrained_encoder(tmp_path, monkeypatch):
+    """load_task_from_components(pretrained_encoder=...) serves a model whose
+    base encoder came from InfoNCE pretraining instead of the seed init."""
+    from gwkit.models.whisper import init_encoder_params
+
+    enc = WhisperConfig(d_model=32, n_heads=2, n_layers=2, d_ff=64, max_positions=64)
+    qcfg = QAdapterConfig(spectrogram_shape=(32, 32), target_shape=(80, 128), channels=(4, 8, 8))
+    acfg = AdapterConfig(r=2, alpha=4, use_dora=True, targets="qkvo")
+    task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc, acfg=acfg, qcfg=qcfg, usr=True)
+    outdir = str(tmp_path)
+    task.export_components(outdir, task.trainable)
+
+    pretrained = jax.tree.map(lambda x: x * 0.0 + 0.125, init_encoder_params(jax.random.PRNGKey(9), enc))
+    enc_path = str(tmp_path / "encoder_pretrained_full.npz")
+    save_pytree(enc_path, pretrained)
+
+    import gwkit.cli.inference as inf
+    import gwkit.models.whisper as W
+    import gwkit.train.tasks as tasks_mod
+
+    monkeypatch.setattr(W, "config_for", lambda size, **kw: enc)
+    monkeypatch.setattr(
+        tasks_mod, "build_mlgwsc",
+        lambda key, encoder, acfg, encoder_params, usr, qcfg=None: build_mlgwsc(
+            key, encoder=enc, acfg=acfg, qcfg=QAdapterConfig(
+                spectrogram_shape=(32, 32), target_shape=(80, 128), channels=(4, 8, 8)),
+            encoder_params=encoder_params, usr=usr))
+
+    loaded = inf.load_task_from_components(
+        lora_weights=f"{outdir}/best_lora_weights",
+        dense_weights=f"{outdir}/best_dense_layers.npz",
+        adapter_weights=f"{outdir}/best_adapter.npz",
+        encoder="tiny", usr=True, seed=0,
+        pretrained_encoder=enc_path, target_shape=(80, 128),
+    )
+    # every non-pos frozen-encoder leaf is the pretrained constant, not the
+    # seed-random init
+    frozen_enc = dict(loaded.frozen["encoder"])
+    frozen_enc.pop("pos")
+    for leaf in jax.tree.leaves(frozen_enc):
+        np.testing.assert_allclose(np.asarray(leaf), 0.125)
