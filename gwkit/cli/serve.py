@@ -23,7 +23,8 @@ from gwkit.cli.common import add_common_args, setup
 def parse_args(argv=None):
     p = ArgumentParser(description="Resident continuous-search scoring server / client.")
     add_common_args(p)
-    p.add_argument("--socket", type=str, required=True, help="Unix socket path.")
+    p.add_argument("--socket", type=str, default=None,
+                   help="Unix socket path (required except in --watch mode).")
     # server mode
     p.add_argument("--lora-weights", type=str, default=None, help="peft-compatible LoRA dir.")
     p.add_argument("--dense-weights", type=str, default=None, help="Head checkpoint (.npz).")
@@ -39,6 +40,14 @@ def parse_args(argv=None):
     p.add_argument("--warmup", type=float, default=0.0,
                    help="Compile the scoring program on this many seconds of "
                         "synthetic strain before accepting requests.")
+    p.add_argument("--watch", type=str, default=None,
+                   help="Online mode: poll this directory and score every new "
+                        ".hdf strain file into <stem>_events.hdf (instead of "
+                        "listening on the socket).")
+    p.add_argument("--watch-output", type=str, default=None,
+                   help="Output directory for --watch (default: the watch dir).")
+    p.add_argument("--watch-poll", type=float, default=2.0,
+                   help="--watch poll interval in seconds.")
     p.add_argument("-t", "--trigger-threshold", type=float, default=-0.5)
     p.add_argument("--step-size", type=float, default=0.1)
     p.add_argument("--cluster-threshold", type=float, default=0.35)
@@ -59,6 +68,8 @@ def main(argv=None):
     setup(args)
     from gwkit.serve import ScoringServer, request
 
+    if not args.socket and not args.watch:
+        raise SystemExit("--socket is required except in --watch mode")
     if args.ping or args.shutdown or args.score:
         if args.ping:
             req = {"cmd": "ping"}
@@ -96,6 +107,13 @@ def main(argv=None):
     )
     if args.warmup > 0:
         print(f"warmup compile: {server.warmup(args.warmup):.1f}s", flush=True)
+    if args.watch:
+        from gwkit.serve import watch_directory
+
+        print(f"watching {args.watch}", flush=True)
+        watch_directory(server, args.watch, output_dir=args.watch_output,
+                        poll_seconds=args.watch_poll)
+        return
     server.bind()
     print(f"serving on {args.socket}", flush=True)
     server.serve_forever()

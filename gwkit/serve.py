@@ -171,6 +171,65 @@ class ScoringServer:
                 os.remove(self.socket_path)
 
 
+def watch_directory(
+    server: ScoringServer,
+    watch_dir: str,
+    output_dir: Optional[str] = None,
+    poll_seconds: float = 2.0,
+    suffix: str = ".hdf",
+    stop_after: Optional[int] = None,
+    settle_seconds: float = 1.0,
+) -> int:
+    """Online mode: score strain files as they appear in ``watch_dir``.
+
+    Each new ``*.hdf`` file is scored into ``<output_dir>/<stem>_events.hdf``
+    once its size has been stable for ``settle_seconds`` (writers are not
+    atomic). Files already processed (an output exists) are skipped, so the
+    watcher is restart-safe. ``stop_after`` bounds the number of files
+    scored (None = run forever); returns the number scored.
+
+    This is the low-latency-pipeline analogue the reference lacks — its
+    search is strictly offline batch (MLGWSC-1/inference.py scores one
+    pre-existing file per invocation).
+    """
+    out_dir = output_dir or watch_dir
+    os.makedirs(out_dir, exist_ok=True)
+    sizes: dict = {}
+    n_scored = 0
+    while stop_after is None or n_scored < stop_after:
+        ready = []
+        for name in sorted(os.listdir(watch_dir)):
+            if not name.endswith(suffix) or name.endswith("_events" + suffix):
+                continue
+            path = os.path.join(watch_dir, name)
+            out = os.path.join(out_dir, name[: -len(suffix)] + "_events" + suffix)
+            if os.path.exists(out) or os.path.exists(out + ".failed"):
+                continue
+            size = os.path.getsize(path)
+            prev = sizes.get(path)
+            if prev is None or prev[0] != size:  # first sight / still growing
+                sizes[path] = (size, time.time())
+                continue
+            if time.time() - prev[1] >= settle_seconds:
+                ready.append((path, out))
+        for path, out in ready:
+            resp = server.handle_request({"input": path, "output": out})
+            if resp.get("ok"):
+                n_scored += 1
+                logging.info("watch: %s -> %s (%d triggers, %.1fx realtime)",
+                             path, out, resp["n_triggers"], resp["x_realtime"])
+            else:
+                logging.error("watch: %s failed: %s", path, resp.get("error"))
+                # leave a tombstone so a permanently-bad file is not retried
+                with open(out + ".failed", "w") as f:
+                    f.write(str(resp.get("error")))
+            if stop_after is not None and n_scored >= stop_after:
+                return n_scored
+        if not ready:
+            time.sleep(poll_seconds)
+    return n_scored
+
+
 def _task_score_fn(task):
     import jax
 

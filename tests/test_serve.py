@@ -117,6 +117,38 @@ def test_socket_round_trip(tiny_task, strain_file, tmp_path):
     assert not os.path.exists(sock_path)
 
 
+def test_watch_directory(tiny_task, strain_file, tmp_path):
+    """Online mode: new files are scored once settled; failures leave a
+    tombstone instead of wedging the watcher; outputs make restarts no-ops."""
+    import shutil
+
+    from gwkit.serve import watch_directory
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    server = ScoringServer(tiny_task, str(tmp_path / "unused.sock"),
+                           trigger_threshold=-1e9, batch_size=32, white=True)
+
+    shutil.copy(strain_file, watch / "b_good.hdf")
+    (watch / "a_bad.hdf").write_bytes(b"not an hdf5 file")
+    n = watch_directory(server, str(watch), poll_seconds=0.05,
+                        settle_seconds=0.05, stop_after=1)
+    assert n == 1
+    assert (watch / "b_good_events.hdf").is_file()
+    assert (watch / "a_bad_events.hdf.failed").is_file()
+    assert not (watch / "a_bad_events.hdf").exists()
+
+    # restart safety: previous outputs/tombstones are skipped; only the new
+    # file is scored
+    first_mtime = (watch / "b_good_events.hdf").stat().st_mtime_ns
+    shutil.copy(strain_file, watch / "c_new.hdf")
+    n = watch_directory(server, str(watch), poll_seconds=0.05,
+                        settle_seconds=0.05, stop_after=1)
+    assert n == 1
+    assert (watch / "c_new_events.hdf").is_file()
+    assert (watch / "b_good_events.hdf").stat().st_mtime_ns == first_mtime
+
+
 def test_cli_client_roundtrip(tiny_task, strain_file, tmp_path, capsys):
     """The CLI's client mode speaks the same protocol (server run in-thread)."""
     sock_path = str(tmp_path / "cli.sock")
