@@ -94,6 +94,26 @@ def batch_sharding(mesh: Mesh, tree: Any) -> Any:
     )
 
 
+def task_shardings(mesh: Mesh, tree: Any) -> Any:
+    """Sharding pytree for a task-level dict (a Task's ``trainable`` or
+    ``frozen``): "encoder" gets the Megatron layout, "adapters" follow their
+    base projections, everything else (heads, Q-adapter, FiLM) replicates."""
+    out = {}
+    for name, sub in tree.items():
+        if name == "encoder":
+            out[name] = encoder_sharding(mesh)
+        elif name == "adapters":
+            out[name] = adapter_sharding(mesh, sub)
+        else:
+            out[name] = replicated(mesh, sub)
+    return out
+
+
+def shard_task_tree(mesh: Mesh, tree: Any) -> Any:
+    """device_put a Task's trainable/frozen dict with the standard layout."""
+    return jax.device_put(tree, task_shardings(mesh, tree))
+
+
 def shard_params(mesh: Mesh, encoder_params, adapters=None, extras: Optional[dict] = None):
     """device_put every pytree with its sharding; returns the same structure."""
     enc = jax.device_put(encoder_params, encoder_sharding(mesh))

@@ -95,8 +95,23 @@ class Trainer:
         cfg: TrainConfig = TrainConfig(),
         export_components: Optional[Callable] = None,
         metrics_callback: Optional[Callable] = None,
+        mesh=None,
     ):
         self.cfg = cfg
+        self.mesh = mesh
+        self._shard_batch = None
+        if mesh is not None:
+            # Multi-chip training as a constructor arg: params are laid out
+            # with the standard ("data","model") rules (Megatron encoder tp,
+            # adapters following their base projections, heads replicated),
+            # batches are sharded on the data axis per step, and GSPMD
+            # propagates everything else — the optimizer state inherits the
+            # trainable layout from optax init on the sharded pytree.
+            from gwkit.parallel.mesh import batch_sharding, shard_task_tree
+
+            trainable = shard_task_tree(mesh, trainable)
+            frozen = shard_task_tree(mesh, frozen)
+            self._shard_batch = lambda b: jax.device_put(b, batch_sharding(mesh, b))
         self.frozen = frozen
         self.trainable = trainable
         self.optimizer = make_optimizer(cfg)
@@ -137,6 +152,8 @@ class Trainer:
         losses, auxes = [], []
         for batch in batches:
             key, sub = jax.random.split(key)
+            if self._shard_batch is not None:
+                batch = self._shard_batch(batch)
             if train:
                 self.trainable, self.opt_state, loss, aux = self._train_step(
                     self.trainable, self.opt_state, batch, sub

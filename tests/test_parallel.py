@@ -178,3 +178,45 @@ def test_window_sharded_search_matches(rng):
     sharded = score_segments(score_fn, [seg], cfg, trigger_threshold=-1e9, white=True, mesh=mesh)
     np.testing.assert_allclose(sharded.all_vals, single.all_vals, rtol=1e-5, atol=1e-6)
     assert sharded.n_windows == single.n_windows
+
+
+def test_trainer_mesh_matches_single_device(rng):
+    """Trainer(mesh=...) — the product multi-chip path (CLI --model-parallel)
+    — takes the same optimization trajectory as the unsharded trainer."""
+    from gwkit.train.trainer import TrainConfig, Trainer
+
+    def batches(x, y, snr, bsz):
+        def gen(_key):
+            for i in range(0, len(x), bsz):
+                yield (jnp.asarray(x[i:i + bsz]), jnp.asarray(y[i:i + bsz]),
+                       jnp.asarray(snr[i:i + bsz]))
+        return gen
+
+    x = rng.normal(size=(16, 2, 256)).astype(np.float32)
+    y = np.tile(np.eye(2, dtype=np.float32), (8, 1))
+    snr = np.zeros((16,), np.float32)
+    cfg = TrainConfig(learning_rate=1e-3, clip_norm=1.0, epochs=2, batch_size=8,
+                      early_stop_patience=10, seed=0)
+
+    losses = {}
+    for name, mesh in (("single", None), ("dp4xtp2", make_mesh(n_model=2))):
+        task = _tiny_task()
+        trainer = Trainer(task.loss_fn, task.trainable, task.frozen, cfg, mesh=mesh)
+        if mesh is not None:
+            # the constructor laid the params out: at least one adapter leaf
+            # (the b-matrices / magnitudes) is model-sharded, encoder q is too
+            assert any(
+                any(s is not None for s in leaf.sharding.spec)
+                for leaf in jax.tree.leaves(trainer.trainable["adapters"])
+            ), "adapters not actually sharded"
+            q_spec = trainer.frozen["encoder"]["layers"]["q"]["w"].sharding.spec
+            assert q_spec[-1] is not None, "encoder q not model-sharded"
+        key = jax.random.PRNGKey(0)
+        epoch_losses = []
+        for _ in range(2):
+            key, k = jax.random.split(key)
+            loss, _ = trainer.run_epoch(batches(x, y, snr, 8)(k), k, train=True)
+            epoch_losses.append(loss)
+        losses[name] = epoch_losses
+
+    np.testing.assert_allclose(losses["dp4xtp2"], losses["single"], rtol=2e-3, atol=2e-4)
