@@ -46,6 +46,22 @@ def add_adapter_args(parser: ArgumentParser) -> None:
                              "pretrained encoder saved by scripts/ablation_dora.py.")
 
 
+def add_mesh_arg(parser: ArgumentParser) -> None:
+    parser.add_argument("--model-parallel", type=int, default=0,
+                        help="Train over a ('data','model') mesh of ALL visible "
+                             "devices with this tensor-parallel degree (0 = "
+                             "single-device; 1 = pure data parallel).")
+
+
+def build_mesh(args):
+    """Mesh for Trainer(mesh=...) when --model-parallel is set, else None."""
+    if not getattr(args, "model_parallel", 0):
+        return None
+    from gwkit.parallel.mesh import make_mesh
+
+    return make_mesh(n_model=args.model_parallel)
+
+
 def build_adapter_config(args):
     from gwkit.models.adapters import AdapterConfig
 

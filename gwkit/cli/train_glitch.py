@@ -7,12 +7,13 @@ from argparse import ArgumentParser
 
 import numpy as np
 
-from gwkit.cli.common import add_adapter_args, add_common_args, build_adapter_config, build_encoder_config, load_encoder_params, setup
+from gwkit.cli.common import add_adapter_args, add_common_args, add_mesh_arg, build_adapter_config, build_encoder_config, build_mesh, load_encoder_params, setup
 
 
 def parse_args(argv=None):
     p = ArgumentParser(description="Train the multi-class glitch classifier.")
     add_common_args(p)
+    add_mesh_arg(p)
     add_adapter_args(p)
     p.add_argument("-d", "--dataset", type=str, required=True,
                    help="HDF5 with 'strain' [N,T] and integer 'labels' [N].")
@@ -71,6 +72,7 @@ def main(argv=None):
             optimizer="adamw", clip_norm=0.0, seed=args.seed,
         ),
         export_components=task.export_components,
+        mesh=build_mesh(args),
     )
 
     best_f1 = [-1.0]

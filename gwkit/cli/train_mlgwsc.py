@@ -27,10 +27,9 @@ def parse_args(argv=None):
     p.add_argument("--early-stop-patience", type=int, default=10)
     p.add_argument("--num-classes", type=int, default=2)
     p.add_argument("--resume", nargs="?", const="latest", default=None, choices=["latest", "best"])
-    p.add_argument("--model-parallel", type=int, default=0,
-                   help="Train over a ('data','model') mesh of ALL visible "
-                        "devices with this tensor-parallel degree (0 = "
-                        "single-device; 1 = pure data parallel).")
+    from gwkit.cli.common import add_mesh_arg
+
+    add_mesh_arg(p)
     p.add_argument("--pretrain-steps", type=int, default=0, help="InfoNCE steps (0 to skip; reference default 60000).")
     p.add_argument("--pretrain-lr", type=float, default=1e-4)
     p.add_argument("--pretrain-temp", type=float, default=0.1)
@@ -86,11 +85,8 @@ def main(argv=None):
             outdir=args.output_training, seed=args.seed,
         )
 
-    mesh = None
-    if args.model_parallel:
-        from gwkit.parallel.mesh import make_mesh
+    from gwkit.cli.common import build_mesh
 
-        mesh = make_mesh(n_model=args.model_parallel)
     trainer = Trainer(
         task.loss_fn, task.trainable, task.frozen,
         TrainConfig(
@@ -99,7 +95,7 @@ def main(argv=None):
             early_stop_patience=args.early_stop_patience, optimizer="adam", seed=args.seed,
         ),
         export_components=task.export_components,
-        mesh=mesh,
+        mesh=build_mesh(args),
     )
     trainer.fit(
         lambda k: train_ds.batches(k, args.batch_size),
