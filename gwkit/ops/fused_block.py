@@ -23,7 +23,10 @@ thin matmuls. Projections without an adapter get zero A/B and unit scale.
 
 Differentiable via custom_vjp: backward re-runs the unfused reference math
 (gwkit.models.whisper._block semantics, reimplemented here to avoid an
-import cycle) under jax.vjp — identical values, exact gradients.
+import cycle) under jax.vjp, with the attention core routed through the
+Pallas flash forward/backward kernels (gwkit.ops.attention) so the
+recompute never materializes the (B, H, T, T) probability tensor in HBM —
+same function, gradients exact to fp rounding.
 
 Reference hot loop being replaced: per-detector Whisper encoder forward,
 SURVEY.md §3.1-3.3 (MLGWSC-1/inference.py:454-489).
@@ -256,9 +259,16 @@ def _effective_proj(p_entry, adapter, dtype):
     return (w_eff.astype(dtype), bias), has_bias
 
 
-def _reference_block(x, p, adapters, n_heads: int, approx: bool):
+def _reference_block(x, p, adapters, n_heads: int, approx: bool,
+                     flash: bool = False, interpret: bool = False):
     """Unfused math (gwkit.models.whisper._block semantics) for the backward
-    pass and for equality tests."""
+    pass and for equality tests.
+
+    ``flash=True`` swaps the einsum attention core for the Pallas flash
+    kernel (gwkit.ops.attention) — same softmax-attention function, so
+    values/gradients agree to fp rounding, but neither the recompute nor
+    its backward ever writes the (B, H, T, T) probability tensor to HBM
+    (~0.9 GB per direction per layer at the training geometry)."""
     ad = adapters or {}
     B, T, D = x.shape
     hd = D // n_heads
@@ -272,9 +282,14 @@ def _reference_block(x, p, adapters, n_heads: int, approx: bool):
     q = (prj("q", h) * (hd ** -0.5)).reshape(B, T, n_heads, hd)
     k = prj("k", h).reshape(B, T, n_heads, hd)
     v = prj("v", h).reshape(B, T, n_heads, hd)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
+    if flash:
+        from gwkit.ops.attention import flash_attention
+
+        o = flash_attention(q, k, v, interpret=interpret).reshape(B, T, D)
+    else:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
     x1 = x + prj("o", o)
     h2 = _ln_f32(x1, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
     h2 = jax.nn.gelu(prj("fc1", h2), approximate=approx)
@@ -366,9 +381,15 @@ def _fused_fwd(x, p, adapters, n_heads, approx, interpret, block_q, block_f):
 
 
 def _fused_bwd(n_heads, approx, interpret, block_q, block_f, res, g):
+    # Backward = vjp of the unfused math with the FLASH attention core: the
+    # recompute runs the Pallas forward kernel and the dq/dk/dv path runs the
+    # streaming Pallas backward (gwkit.ops.attention._attn_bwd_kernel), so no
+    # T x T tensor ever touches HBM. Everything else (LN/projection/MLP
+    # backward) is plain matmuls XLA already runs at MXU rate.
     x, p, adapters = res
     _, vjp = jax.vjp(
-        lambda xx, pp, aa: _reference_block(xx, pp, aa, n_heads, approx),
+        lambda xx, pp, aa: _reference_block(xx, pp, aa, n_heads, approx,
+                                            flash=True, interpret=interpret),
         x, p, adapters)
     return vjp(g)
 
