@@ -53,6 +53,9 @@ def main():
         fused_block=on_tpu and os.environ.get("BENCH_FUSED_BLOCK", "1") == "1",
         gelu_approx=True,  # training/serving use the same activation; ~1e-3 vs erf
         max_positions=target_frames // 2,
+        # int8 projections in the fused block (BENCH_INT8=1): opt-in until
+        # AUC parity is pinned on a trained checkpoint (docs/PERF.md)
+        quant_int8=on_tpu and os.environ.get("BENCH_INT8", "0") == "1",
     )
     qcfg = QAdapterConfig(
         median_stride=int(os.environ.get("BENCH_MEDIAN_STRIDE", "8")),

@@ -36,6 +36,10 @@ def parse_args(argv=None):
     p.add_argument("--shard-dir", type=str, default=None,
                    help="Shared dir for the multi-host trigger gather "
                         "(jax.distributed runs; see gwkit.parallel.distributed).")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 projections inside the fused encoder kernel "
+                        "(TPU; ~2x MXU rate, validated within score parity "
+                        "tolerances — see docs/PERF.md).")
     p.add_argument("--stream", type=int, choices=[0, 1], default=None,
                    help="Force segment streaming on/off (default: auto — C++ "
                         "prefetch when the file supports it).")
@@ -83,6 +87,7 @@ def load_task_from_components(
     seed: int = 42,
     pretrained_encoder=None,
     target_shape=(80, 3000),
+    quant_int8: bool = False,
 ):
     """build_model parity (inference.py:415-430): assemble the mlgwsc task
     from exported component checkpoints.
@@ -108,6 +113,8 @@ def load_task_from_components(
         encoder, compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         use_flash_attention=on_tpu, fused_block=on_tpu, gelu_approx=on_tpu,
         max_positions=n_frames // 2,
+        # int8 projections need the fused block (TPU); a no-op elsewhere
+        quant_int8=quant_int8 and on_tpu,
     )
     adapters, acfg = import_peft_dir(lora_weights, n_layers=enc_cfg.n_layers)
     encoder_params = None
@@ -152,7 +159,7 @@ def main(argv=None):
         args.lora_weights, args.dense_weights, args.adapter_weights,
         encoder=args.encoder, hf_checkpoint=args.hf_checkpoint, usr=not args.softmax,
         seed=args.seed, pretrained_encoder=args.pretrained_encoder,
-        target_shape=tuple(args.target_shape),
+        target_shape=tuple(args.target_shape), quant_int8=args.int8,
     )
     triggers, all_vals, result = get_triggers(
         task, args.inputfile,

@@ -37,6 +37,8 @@ def parse_args(argv=None):
                         "serving geometry, (80, 3000) reference parity.")
     p.add_argument("--encoder", type=str, default="tiny")
     p.add_argument("--softmax", action="store_true", help="Softmax scores (default USR logits).")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 projections inside the fused encoder kernel (TPU).")
     p.add_argument("--warmup", type=float, default=0.0,
                    help="Compile the scoring program on this many seconds of "
                         "synthetic strain before accepting requests.")
@@ -98,7 +100,7 @@ def main(argv=None):
         encoder=args.encoder, hf_checkpoint=args.hf_checkpoint,
         usr=not args.softmax, seed=args.seed,
         pretrained_encoder=args.pretrained_encoder,
-        target_shape=tuple(args.target_shape),
+        target_shape=tuple(args.target_shape), quant_int8=args.int8,
     )
     server = ScoringServer(
         task, args.socket,

@@ -48,6 +48,7 @@ class WhisperConfig:
     gelu_approx: bool = False  # tanh GELU (~1e-3 rel diff vs erf, saves VPU transcendentals)
     fused_mlp: bool = False  # Pallas LN+MLP+residual kernel (TPU only)
     fused_block: bool = False  # whole-layer Pallas kernel (gwkit.ops.fused_block, TPU only)
+    quant_int8: bool = False  # int8 projections inside the fused block (inference; v5e+ MXU)
 
     @property
     def head_dim(self) -> int:
@@ -183,7 +184,8 @@ def _block(x, p, cfg: WhisperConfig, adapters=None):
 
         interpret = jax.devices()[0].platform == "cpu"
         return fused_encoder_block(x, p, cfg.n_heads, adapters,
-                                   approx=cfg.gelu_approx, interpret=interpret)
+                                   approx=cfg.gelu_approx, interpret=interpret,
+                                   quant=cfg.quant_int8)
     h = _layer_norm(x, p["attn_ln"])
     x = x + _attention(h, p, cfg, adapters)
     if cfg.fused_mlp:

@@ -76,6 +76,39 @@ def _dot(a, b):
                                preferred_element_type=jnp.float32)
 
 
+def _quantize_rows(h):
+    """Per-row symmetric int8 quantization of an (R, D) f32 tile.
+
+    Returns (int8 values, (R, 1) f32 scales). The scale floor keeps all-zero
+    rows finite (they quantize to zeros with scale 1/127)."""
+    sx = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-6) / 127.0
+    q = jnp.clip(jnp.round(h / sx), -127.0, 127.0).astype(jnp.int8)
+    return q, sx
+
+
+def _quantize_cols(w):
+    """Per-column symmetric int8 quantization of a (D_in, D_out) f32 weight.
+
+    Returns (int8 values, (D_out,) f32 scales)."""
+    w = w.astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w / sw), -127.0, 127.0).astype(jnp.int8)
+    return q, sw
+
+
+def _qdot(h, wq, sw, bias=None):
+    """Quantized projection: per-row-quantize ``h`` (f32), int8 x int8 dot on
+    the MXU with int32 accumulation, dequantize with row x column scales.
+    Same math in-kernel and in the jnp reference (exact-match testable)."""
+    hq, sx = _quantize_rows(h.astype(jnp.float32))
+    y = jax.lax.dot_general(hq, wq, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * sx * sw.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y
+
+
 def _attn_block_kernel(
     # refs: x, ln1 g/b, concatenated effective qkv projection (w, bias) and
     # the o projection; out is x1 = x + o-proj(attention) and doubles as
@@ -88,11 +121,17 @@ def _attn_block_kernel(
     x_ref, g1_ref, bb1_ref,
     wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     g2_ref, bb2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-    o_ref, h_s, q_s, k_s,
-    *, n_heads: int, t_valid: int, block_q: int, block_f: int,
+    *rest,
+    n_heads: int, t_valid: int, block_q: int, block_f: int,
     o_bias: bool, approx: bool, skip_mlp: bool = False,
-    ablate: str = "",
+    quant: bool = False, ablate: str = "",
 ):
+    # quant mode appends per-column f32 scale operands for the int8 weights
+    # (qkv, o, fc1, fc2) between the weight refs and the output/scratch refs.
+    if quant:
+        sqkv_ref, so_ref, s1_ref, s2_ref = rest[:4]
+        rest = rest[4:]
+    o_ref, h_s, q_s, k_s = rest
     dt = x_ref.dtype
     tp = h_s.shape[0]
     # Every non-attention stage is row-tiled: a full-width (Tp, D) f32
@@ -112,7 +151,10 @@ def _attn_block_kernel(
     def ln_qkv_tile(ri, _):
         sl = rows(ri)
         hb = _ln_f32(x_ref[0, sl, :], g1_ref[...], bb1_ref[...])
-        y = _dot(hb, wqkv_ref[...]) + bqkv_ref[...].astype(jnp.float32)
+        if quant:
+            y = _qdot(hb, wqkv_ref[...], sqkv_ref[...], bqkv_ref[...])
+        else:
+            y = _dot(hb, wqkv_ref[...]) + bqkv_ref[...].astype(jnp.float32)
         q_s[sl, :] = y[:, :d].astype(dt)
         k_s[sl, :] = y[:, d:2 * d].astype(dt)
         h_s[sl, :] = y[:, 2 * d:].astype(dt)
@@ -193,7 +235,10 @@ def _attn_block_kernel(
     # o-proj is row-wise, so tile-local read-modify-write is safe)
     def o_tile(ri, _):
         sl = rows(ri)
-        y = _dot(o_ref[0, sl, :], wo_ref[...])
+        if quant:
+            y = _qdot(o_ref[0, sl, :].astype(jnp.float32), wo_ref[...], so_ref[...])
+        else:
+            y = _dot(o_ref[0, sl, :], wo_ref[...])
         if o_bias:
             y = y + bo_ref[...].astype(jnp.float32)
         o_ref[0, sl, :] = x_ref[0, sl, :] + y.astype(dt)
@@ -209,9 +254,15 @@ def _attn_block_kernel(
     def mlp_tile(fi, _):
         sl = pl.ds(fi * block_f, block_f)
         hb = _ln_f32(o_ref[0, sl, :], g2_ref[...], bb2_ref[...])
-        a1 = _dot(hb, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
-        a1 = jax.nn.gelu(a1.astype(dt), approximate=approx)
-        yb = _dot(a1, w2_ref[...]) + b2_ref[...].astype(jnp.float32)
+        if quant:
+            a1 = _qdot(hb, w1_ref[...], s1_ref[...], b1_ref[...])
+            a1 = jax.nn.gelu(a1.astype(dt), approximate=approx)
+            yb = _qdot(a1.astype(jnp.float32), w2_ref[...], s2_ref[...],
+                       b2_ref[...])
+        else:
+            a1 = _dot(hb, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
+            a1 = jax.nn.gelu(a1.astype(dt), approximate=approx)
+            yb = _dot(a1, w2_ref[...]) + b2_ref[...].astype(jnp.float32)
         o_ref[0, sl, :] = o_ref[0, sl, :] + yb.astype(dt)
         return 0
 
@@ -221,16 +272,23 @@ def _attn_block_kernel(
 def _attn_only_kernel(
     x_ref, g1_ref, bb1_ref,
     wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-    o_ref, h_s, q_s, k_s, **kw,
+    *rest, **kw,
 ):
     """Attention-block-only variant for the VMEM-fallback path: takes NO MLP
     operands, so the fallback actually sheds the fc1/fc2 VMEM residency that
     triggered it (the full kernel would keep ~4-6 MB of unused MLP weights
-    resident even with skip_mlp=True)."""
+    resident even with skip_mlp=True). In quant mode ``rest`` starts with the
+    qkv/o column-scale refs (no MLP scales)."""
+    scales = ()
+    if kw.get("quant"):
+        scales = (*rest[:2], None, None)
+        rest = rest[2:]
+    o_ref, h_s, q_s, k_s = rest
     _attn_block_kernel(
         x_ref, g1_ref, bb1_ref,
         wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         None, None, None, None, None, None,
+        *scales,
         o_ref, h_s, q_s, k_s, skip_mlp=True, **kw)
 
 
@@ -260,7 +318,8 @@ def _effective_proj(p_entry, adapter, dtype):
 
 
 def _reference_block(x, p, adapters, n_heads: int, approx: bool,
-                     flash: bool = False, interpret: bool = False):
+                     flash: bool = False, interpret: bool = False,
+                     quant: bool = False):
     """Unfused math (gwkit.models.whisper._block semantics) for the backward
     pass and for equality tests.
 
@@ -268,12 +327,24 @@ def _reference_block(x, p, adapters, n_heads: int, approx: bool,
     kernel (gwkit.ops.attention) — same softmax-attention function, so
     values/gradients agree to fp rounding, but neither the recompute nor
     its backward ever writes the (B, H, T, T) probability tensor to HBM
-    (~0.9 GB per direction per layer at the training geometry)."""
+    (~0.9 GB per direction per layer at the training geometry).
+
+    ``quant=True`` mirrors the kernel's int8 projection path exactly
+    (DoRA-folded per-column weight quant + per-row activation quant via the
+    shared _quantize_cols/_qdot helpers) so the quantized kernel is testable
+    against this reference at fp tolerance."""
     ad = adapters or {}
     B, T, D = x.shape
     hd = D // n_heads
 
     def prj(name, h):
+        if quant:
+            (w_eff, bias), has_bias = _effective_proj(p[name], ad.get(name),
+                                                      jnp.float32)
+            wq, sw = _quantize_cols(w_eff)
+            y = _qdot(h.reshape(-1, h.shape[-1]), wq, sw,
+                      bias if has_bias else None)
+            return y.reshape(*h.shape[:-1], -1).astype(x.dtype)
         entry = {k: v.astype(x.dtype) for k, v in p[name].items()}
         return dora_linear(h, entry["w"], entry.get("b"), ad[name]) if name in ad \
             else (h @ entry["w"] + entry["b"] if "b" in entry else h @ entry["w"])
@@ -296,7 +367,8 @@ def _reference_block(x, p, adapters, n_heads: int, approx: bool,
     return x1 + prj("fc2", h2.astype(x.dtype))
 
 
-def _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q=256, block_f=256):
+def _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q=256, block_f=256,
+                quant=False):
     B, T, D = x.shape
     dt = x.dtype
     ad = adapters or {}
@@ -328,17 +400,31 @@ def _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q=256, block_f
         p["fc1"]["w"].astype(dt), p["fc1"]["b"],
         p["fc2"]["w"].astype(dt), p["fc2"]["b"],
     ])
+    scales = []
+    if quant:
+        # int8 weights + per-column f32 scales (appended after the MLP
+        # operands; the kernel unpacks them from *rest). Quantization runs
+        # at trace time per call — for the search path the weights are
+        # constants, so XLA folds it into the compiled program once.
+        flat[3], sqkv = _quantize_cols(wqkv)
+        flat[5], so = _quantize_cols(eff["o"][0])
+        flat[9], s1 = _quantize_cols(p["fc1"]["w"])
+        flat[11], s2 = _quantize_cols(p["fc2"]["w"])
+        scales = [sqkv, so, s1, s2]
+        flat.extend(scales)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim)
     in_specs = [pl.BlockSpec((1, tp, D), lambda b: (b, 0, 0))] + [full(a) for a in flat[1:]]
     db = jnp.dtype(dt).itemsize
+    wdb = 1 if quant else db  # int8 weights are 1 byte/elem VMEM-resident
     # VMEM estimate for the single whole-block kernel: double-buffered x/out
     # blocks, 3 scratches, resident weights, and ~4 MB of softmax/MLP temps.
-    vmem_est = (4 + 3) * tp * D * db + (4 * D * D + 2 * D * F) * db + 4 * (1 << 20)
+    vmem_est = (4 + 3) * tp * D * db + (4 * D * D + 2 * D * F) * wdb + 4 * (1 << 20)
+    kernel_kw = dict(n_heads=n_heads, t_valid=T, block_q=block_q,
+                     block_f=block_f, o_bias=eff["o"][2], approx=approx,
+                     quant=quant,
+                     ablate=__import__("os").environ.get("GWKIT_FUSED_ABLATE", ""))
     out = pl.pallas_call(
-        functools.partial(
-            _attn_block_kernel, n_heads=n_heads, t_valid=T, block_q=block_q,
-            block_f=block_f, o_bias=eff["o"][2], approx=approx,
-            ablate=__import__("os").environ.get("GWKIT_FUSED_ABLATE", "")),
+        functools.partial(_attn_block_kernel, **kernel_kw),
         out_shape=jax.ShapeDtypeStruct((B, tp, D), dt),
         grid=(B,),
         in_specs=in_specs,
@@ -349,18 +435,19 @@ def _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q=256, block_f
     if out is None:
         # big geometries (whisper-base+ at T=1500) exceed VMEM in one kernel:
         # run the attention block alone, then the token-tiled MLP kernel
+        # (the fallback MLP stays unquantized — it is the rare path and the
+        # fused_mlp kernel has no int8 variant)
+        attn_flat = flat[:7] + ([scales[0], scales[1]] if quant else [])
+        attn_specs = in_specs[:7] + [full(a) for a in attn_flat[7:]]
         x1 = pl.pallas_call(
-            functools.partial(
-                _attn_only_kernel, n_heads=n_heads, t_valid=T, block_q=block_q,
-                block_f=block_f, o_bias=eff["o"][2], approx=approx,
-                ablate=__import__("os").environ.get("GWKIT_FUSED_ABLATE", "")),
+            functools.partial(_attn_only_kernel, **kernel_kw),
             out_shape=jax.ShapeDtypeStruct((B, tp, D), dt),
             grid=(B,),
-            in_specs=in_specs[:7],
+            in_specs=attn_specs,
             out_specs=pl.BlockSpec((1, tp, D), lambda b: (b, 0, 0)),
             scratch_shapes=[pltpu.VMEM((tp, D), dt) for _ in range(3)],
             interpret=interpret,
-        )(*flat[:7])
+        )(*attn_flat)
         out = _fused_mlp_impl(
             x1, p["mlp_ln"]["g"], p["mlp_ln"]["b"],
             p["fc1"]["w"].astype(dt), p["fc1"]["b"],
@@ -370,17 +457,21 @@ def _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q=256, block_f
     return out[:, :T]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _fused_vjp(x, p, adapters, n_heads, approx, interpret, block_q, block_f):
-    return _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q, block_f)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _fused_vjp(x, p, adapters, n_heads, approx, interpret, block_q, block_f, quant):
+    return _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q, block_f,
+                       quant)
 
 
-def _fused_fwd(x, p, adapters, n_heads, approx, interpret, block_q, block_f):
-    return (_fused_impl(x, p, adapters, n_heads, approx, interpret, block_q, block_f),
+def _fused_fwd(x, p, adapters, n_heads, approx, interpret, block_q, block_f, quant):
+    return (_fused_impl(x, p, adapters, n_heads, approx, interpret, block_q, block_f,
+                        quant),
             (x, p, adapters))
 
 
-def _fused_bwd(n_heads, approx, interpret, block_q, block_f, res, g):
+def _fused_bwd(n_heads, approx, interpret, block_q, block_f, quant, res, g):
+    # quant is inference-oriented; if differentiated anyway, the backward is
+    # the full-precision reference gradient (straight-through estimator).
     # Backward = vjp of the unfused math with the FLASH attention core: the
     # recompute runs the Pallas forward kernel and the dq/dk/dv path runs the
     # streaming Pallas backward (gwkit.ops.attention._attn_bwd_kernel), so no
@@ -406,12 +497,18 @@ def fused_encoder_block(
     interpret: bool = False,
     block_q: int = 256,
     block_f: int = 256,
+    quant: bool = False,
 ) -> jnp.ndarray:
     """One whole pre-LN transformer block, fused: x (B, T, D) -> (B, T, D).
 
     ``p``: per-layer param dict (attn_ln, q, k, v, o, mlp_ln, fc1, fc2);
     ``adapters``: optional per-layer DoRA/LoRA dict keyed by projection;
     ``block_q``/``block_f``: attention-score / MLP row-tile sizes (VMEM
-    knobs — 256 fits every geometry; 512 trades VMEM for fewer loop trips).
+    knobs — 256 fits every geometry; 512 trades VMEM for fewer loop trips);
+    ``quant``: int8 projections — per-column weight quant (DoRA folded
+    first), per-row dynamic activation quant, int8 x int8 -> int32 MXU dots
+    (2x the bf16 MXU rate on v5e+); attention core stays bf16. Inference
+    path — gradients fall back to the full-precision reference math.
     """
-    return _fused_vjp(x, p, adapters, n_heads, approx, interpret, block_q, block_f)
+    return _fused_vjp(x, p, adapters, n_heads, approx, interpret, block_q, block_f,
+                      quant)

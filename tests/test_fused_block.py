@@ -116,3 +116,44 @@ def test_encoder_fused_flag_matches_unfused(setup):
     want = encoder_apply(CFG, params, mel, adapters)
     got = encoder_apply(cfg_fused, params, mel, adapters)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("with_adapters", [False, True])
+def test_fused_block_quant_matches_quant_reference(setup, with_adapters):
+    """int8 projection path: the kernel must match the jnp quantized
+    reference (same _quantize_cols/_qdot math) at fp tolerance — the
+    quantization itself is deterministic and shared, so the only differences
+    are attention-core reduction orders."""
+    params, adapters, x = setup
+    p = _layer_slice(params["layers"], 0)
+    ad = _layer_slice(adapters, 0) if with_adapters else None
+    want = _reference_block(x, p, ad, CFG.n_heads, False, quant=True)
+    got = fused_encoder_block(x, p, CFG.n_heads, ad, interpret=True, quant=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+def test_fused_block_quant_error_bound(setup):
+    """int8 vs full precision: per-column weight + per-row activation
+    symmetric quantization must stay within a few percent relative L2 of the
+    full-precision block output (the AUC-parity gate for the search path is
+    separate; this guards against gross scale bugs)."""
+    params, adapters, x = setup
+    p = _layer_slice(params["layers"], 0)
+    ad = _layer_slice(adapters, 0)
+    full = np.asarray(_reference_block(x, p, ad, CFG.n_heads, False))
+    q = np.asarray(fused_encoder_block(x, p, CFG.n_heads, ad, interpret=True,
+                                       quant=True))
+    rel = np.linalg.norm(q - full) / np.linalg.norm(full)
+    assert np.isfinite(q).all()
+    assert rel < 0.03, f"int8 relative L2 error {rel:.4f}"
+
+
+def test_fused_block_quant_nondivisible_length(setup):
+    """Quant path through the tail-masked softmax geometry (T=130 -> tp=256)."""
+    params, adapters, _ = setup
+    p = _layer_slice(params["layers"], 0)
+    ad = _layer_slice(adapters, 0)
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(2, 130, 64)).astype(np.float32))
+    want = _reference_block(x, p, ad, CFG.n_heads, False, quant=True)
+    got = fused_encoder_block(x, p, CFG.n_heads, ad, interpret=True, quant=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
