@@ -149,7 +149,10 @@ def test_two_process_distributed_gather(tmp_path):
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for p in range(2)
     ]
-    outs = [p.communicate(timeout=120)[0].decode() for p in procs]
+    # generous bound: two fresh interpreters x jax import + distributed
+    # handshake on this single shared CPU core can exceed 120 s when other
+    # jobs (benches, corpus generation) run concurrently
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
     assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
     with open(tmp_path / "merged.json") as f:
         merged = json.load(f)
