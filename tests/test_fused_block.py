@@ -157,3 +157,18 @@ def test_fused_block_quant_nondivisible_length(setup):
     want = _reference_block(x, p, ad, CFG.n_heads, False, quant=True)
     got = fused_encoder_block(x, p, CFG.n_heads, ad, interpret=True, quant=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+def test_encoder_quant_int8_close_to_unfused(setup):
+    """encoder_apply with quant_int8: end-to-end (conv stem, positions, scan
+    over layers, final LN) the int8 path must stay close to the full-precision
+    unfused encoder — layer-to-layer error compounding is bounded."""
+    params, adapters, _ = setup
+    mel = jnp.asarray(np.random.default_rng(9).normal(size=(2, 80, 128)).astype(np.float32))
+    cfg_q = WhisperConfig(d_model=64, n_heads=2, n_layers=2, d_ff=128,
+                          max_positions=64, fused_block=True, quant_int8=True)
+    want = np.asarray(encoder_apply(CFG, params, mel, adapters))
+    got = np.asarray(encoder_apply(cfg_q, params, mel, adapters))
+    assert np.isfinite(got).all()
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.05, f"int8 encoder relative L2 {rel:.4f}"
