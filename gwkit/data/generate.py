@@ -240,6 +240,12 @@ def _training_windows_jit(
             hp, hc = phenomp_hplus_hcross(
                 freqs, m1i, m2i, c1i, c2i, cpi, di, ii, tc=tc_in_window,
                 phic=pci, alpha0=a0i, f_lower=f_lower)
+        elif approximant == "imrphenomhm":
+            from gwkit.data.higher_modes import phenomhm_hplus_hcross
+
+            hp, hc = phenomhm_hplus_hcross(
+                freqs, m1i, m2i, c1i, c2i, di, ii, tc=tc_in_window,
+                phic=pci, f_lower=f_lower)
         else:
             hp, hc = phenomd_hplus_hcross(
                 freqs, m1i, m2i, c1i, c2i, di, ii, tc=tc_in_window, phic=pci,

@@ -28,7 +28,10 @@ tests/test_imrphenomp.py):
 * No external waveform oracle (lalsuite) exists in this environment, so
   the twist's absolute phase conventions are pinned by the aligned limit
   rather than by cross-validation against IMRPhenomXPHM; higher modes of
-  the co-precessing frame (l>2, |m|!=2) are not modeled.
+  the co-precessing frame (l>2, |m|!=2) are not twisted here — the
+  ALIGNED higher-harmonic content lives in gwkit.data.higher_modes
+  (approximant 'imrphenomhm'), which together with this module covers
+  XPHM's two effects separately.
 """
 from __future__ import annotations
 

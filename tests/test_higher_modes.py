@@ -1,0 +1,143 @@
+"""Physics anchors for the PhenomHM-style higher-mode model.
+
+No waveform oracle (lalsuite) exists in this environment, so the model is
+pinned by exact limits and structural identities — the same validation
+boundary as gwkit/data/imrphenomd.py and imrphenomp.py (README "Validation
+boundary"). Reference capability: IMRPhenomXPHM's higher multipoles,
+/root/reference/MLGWSC-1/gen.py:131-147.
+"""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gwkit.data.higher_modes import (
+    DEFAULT_MODES,
+    phenomhm_hplus_hcross,
+    phenomhm_modes,
+    pn_mode_ratio,
+    sylm,
+)
+from gwkit.data.imrphenomp import _sYlm_m2_row
+from gwkit.data.waveforms import phenomd_hplus_hcross
+
+FREQS = jnp.asarray(np.linspace(0.0, 512.0, 4097))
+
+
+def test_sylm_matches_handwritten_l2_row():
+    theta = jnp.asarray(np.linspace(0.05, 3.1, 9))
+    row = _sYlm_m2_row(theta)
+    for i, m in enumerate((-2, -1, 0, 1, 2)):
+        np.testing.assert_allclose(sylm(2, m, theta), row[i], atol=5e-7)
+
+
+@pytest.mark.parametrize("l", [2, 3, 4])
+def test_sylm_sum_rule(l):
+    # sum_m |sYlm|^2 = (2l+1)/(4 pi)  (Unsold-type closure for any spin weight)
+    theta = jnp.asarray(np.linspace(0.01, 3.13, 11))
+    tot = sum(sylm(l, m, theta) ** 2 for m in range(-l, l + 1))
+    np.testing.assert_allclose(tot, (2 * l + 1) / (4 * np.pi), rtol=1e-5)
+
+
+def test_sylm_face_on_selects_m2():
+    # at theta = 0 a spin-weight -2 harmonic is nonzero only for m = 2
+    for l in (2, 3, 4):
+        for m in range(-l, l + 1):
+            v = float(sylm(l, m, jnp.asarray(0.0)))
+            if m == 2:
+                assert abs(v) > 0.1
+            else:
+                assert abs(v) < 1e-7
+
+
+def test_22_only_reduces_to_phenomd():
+    args = (FREQS, 36.0, 29.0, 0.3, -0.2, 400.0, 0.7)
+    hp0, hc0 = phenomd_hplus_hcross(*args)
+    hp1, hc1 = phenomhm_hplus_hcross(*args, modes=((2, 2),))
+    scale = float(jnp.max(jnp.abs(hp0)))
+    assert float(jnp.max(jnp.abs(hp1 - hp0))) < 1e-5 * scale
+    assert float(jnp.max(jnp.abs(hc1 - hc0))) < 1e-5 * scale
+
+
+def test_higher_modes_vanish_at_equal_mass():
+    # odd-m amplitudes carry delta = (m1-m2)/M; (3,2)/(4,4) carry (1-3 eta)
+    # which is NOT zero at equal mass — only the odd-m modes must vanish.
+    hp, hc = phenomhm_hplus_hcross(
+        FREQS, 30.0, 30.0, 0.1, 0.1, 400.0, 0.9, modes=((2, 1), (3, 3)))
+    assert float(jnp.max(jnp.abs(hp))) == 0.0
+    assert float(jnp.max(jnp.abs(hc))) == 0.0
+
+
+def test_mode_band_and_peak_scaling():
+    # mode (l,m) has orbital content from (m/2) f_lower, and its spectrum is
+    # the 22's stretched by m/2: the (3,3) amplitude peak sits at 1.5x the
+    # (2,2)'s on a common grid
+    modes = phenomhm_modes(FREQS, 45.0, 15.0, 0.0, 0.0, 400.0)
+    f22 = float(FREQS[int(jnp.argmax(jnp.abs(modes[(2, 2)])))])
+    f33 = float(FREQS[int(jnp.argmax(jnp.abs(modes[(3, 3)])))])
+    f44 = float(FREQS[int(jnp.argmax(jnp.abs(modes[(4, 4)])))])
+    assert abs(f33 / f22 - 1.5) < 0.05
+    assert abs(f44 / f22 - 2.0) < 0.05
+    # band start: (3,3) support begins at 1.5 * f_lower
+    m33 = np.asarray(jnp.abs(modes[(3, 3)]))
+    first = float(FREQS[np.nonzero(m33)[0][0]])
+    assert abs(first - 1.5 * 20.0) < 0.5
+
+
+def test_pn_hierarchy_ordering():
+    # at v ~ 0.3 (mid-inspiral) the subdominant amplitudes follow the PN
+    # ordering for an asymmetric binary: 33 > 21, and all << 22
+    v = jnp.asarray(0.3)
+    eta, delta = 0.1875, 0.5  # q = 3
+    r33 = float(pn_mode_ratio(3, 3, v, eta, delta))
+    r21 = float(pn_mode_ratio(2, 1, v, eta, delta))
+    r44 = float(pn_mode_ratio(4, 4, v, eta, delta))
+    assert 0 < r21 < r33 < 1.0
+    assert 0 < r44 < 1.0
+    # leading-order values (Blanchet LRR): (1/3) delta v, (3/4)sqrt(15/14) delta v
+    np.testing.assert_allclose(r21, delta * 0.3 / 3.0, rtol=1e-6)
+    np.testing.assert_allclose(r33, 0.75 * math.sqrt(15.0 / 14.0) * delta * 0.3, rtol=1e-6)
+
+
+def test_hm_contribution_grows_with_asymmetry_and_inclination():
+    def hm_frac(m1, m2, incl):
+        hp0, _ = phenomd_hplus_hcross(FREQS, m1, m2, 0.0, 0.0, 400.0, incl)
+        hp1, _ = phenomhm_hplus_hcross(FREQS, m1, m2, 0.0, 0.0, 400.0, incl)
+        return float(jnp.max(jnp.abs(hp1 - hp0)) / jnp.max(jnp.abs(hp0)))
+
+    assert hm_frac(48.0, 12.0, 1.2) > 2.0 * hm_frac(33.0, 27.0, 1.2)
+    assert hm_frac(48.0, 12.0, 1.2) > hm_frac(48.0, 12.0, 0.15)
+
+
+def test_all_default_modes_finite_and_bounded():
+    hp, hc = phenomhm_hplus_hcross(FREQS, 48.0, 12.0, 0.5, -0.3, 100.0, 2.0,
+                                   tc=3.0, phic=1.1, modes=DEFAULT_MODES)
+    assert bool(jnp.all(jnp.isfinite(hp))) and bool(jnp.all(jnp.isfinite(hc)))
+    hp0, _ = phenomd_hplus_hcross(FREQS, 48.0, 12.0, 0.5, -0.3, 100.0, 2.0,
+                                  tc=3.0, phic=1.1)
+    # higher modes perturb, not dominate: total within 50% of the 22-only peak
+    assert float(jnp.max(jnp.abs(hp))) < 1.5 * float(jnp.max(jnp.abs(hp0)))
+
+
+def test_td_synthesis_approximant():
+    from gwkit.data.waveforms import td_polarizations
+
+    params = {
+        "mass1": np.array([40.0, 25.0]),
+        "mass2": np.array([12.0, 24.0]),
+        "distance": np.array([400.0, 700.0]),
+        "inclination": np.array([1.1, 0.3]),
+        "tc": np.array([6.0, 6.0]),
+        "coa_phase": np.array([0.0, 2.0]),
+        "spin1z": np.array([0.3, -0.1]),
+        "spin2z": np.array([0.0, 0.2]),
+    }
+    hp, hc = td_polarizations(params, 8.0, 2048.0, approximant="imrphenomhm")
+    hp0, hc0 = td_polarizations(params, 8.0, 2048.0, approximant="imrphenomd")
+    assert hp.shape == (2, 16384) and bool(jnp.all(jnp.isfinite(hp)))
+    # the asymmetric system differs visibly from 22-only; the near-equal-mass
+    # face-on-ish one barely does
+    d0 = float(jnp.max(jnp.abs(hp[0] - hp0[0])) / jnp.max(jnp.abs(hp0[0])))
+    d1 = float(jnp.max(jnp.abs(hp[1] - hp0[1])) / jnp.max(jnp.abs(hp0[1])))
+    assert d0 > 0.03 and d1 < d0
