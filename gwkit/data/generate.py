@@ -67,17 +67,18 @@ def challenge_distribution(dataset: int) -> SourceDistribution:
     """The four challenge injection populations (ds{1-4}.ini semantics:
     masses U(10,50), chirp-distance-uniform; ds1 non-spinning, ds2 aligned
     spins U(-0.99, 0.99), ds3/4 isotropic spin vectors with magnitude
-    U(0, 0.99) carried through the PhenomP precession twist
-    ('imrphenomp', gwkit.data.imrphenomp) — mirroring the reference's
-    IMRPhenomD-for-aligned / IMRPhenomXPHM-for-precessing approximant
-    split (MLGWSC-1/gen.py:131-147, generate_data.py:768-771)."""
+    U(0, 0.99) carried through the precession twist AND the higher
+    harmonics ('imrphenomxphm', gwkit.data.higher_modes.xphm_hplus_hcross)
+    — mirroring the reference's IMRPhenomD-for-aligned /
+    IMRPhenomXPHM-for-precessing approximant split
+    (MLGWSC-1/gen.py:131-147, generate_data.py:768-771)."""
     if dataset == 1:
         return SourceDistribution()
     if dataset == 2:
         return SourceDistribution(spin_max=0.99)
     if dataset in (3, 4):
         return SourceDistribution(spin_max=0.99, isotropic_spins=True,
-                                  approximant="imrphenomp")
+                                  approximant="imrphenomxphm")
     raise ValueError(f"unknown challenge dataset {dataset}")
 
 
@@ -246,6 +247,12 @@ def _training_windows_jit(
             hp, hc = phenomhm_hplus_hcross(
                 freqs, m1i, m2i, c1i, c2i, di, ii, tc=tc_in_window,
                 phic=pci, f_lower=f_lower)
+        elif approximant == "imrphenomxphm":
+            from gwkit.data.higher_modes import xphm_hplus_hcross
+
+            hp, hc = xphm_hplus_hcross(
+                freqs, m1i, m2i, c1i, c2i, cpi, di, ii, tc=tc_in_window,
+                phic=pci, alpha0=a0i, f_lower=f_lower)
         else:
             hp, hc = phenomd_hplus_hcross(
                 freqs, m1i, m2i, c1i, c2i, di, ii, tc=tc_in_window, phic=pci,

@@ -211,3 +211,89 @@ def phenomhm_hplus_hcross(
         hp = hp + 0.5 * hlm * (yp + sym * ym)
         hc = hc + 0.5j * hlm * (yp - sym * ym)
     return hp, hc
+
+
+def wigner_d(l: int, mp: int, m: int, cos_half, sin_half) -> jnp.ndarray:
+    """Wigner small-d d^l_{mp,m}(beta) from half-angle cos/sin (traced).
+
+    Standard Jacobi sum; coefficients are Python floats (static l, mp, m).
+    The sylm Goldberg sum above is this with m = 2 — cross-checked in tests
+    against gwkit.data.imrphenomp._wigner_d2_row and the row sum rule
+    sum_mp d^2 = 1 (rotations move power between multipoles, never create it).
+    """
+    fact = math.factorial
+    norm = math.sqrt(fact(l + mp) * fact(l - mp) * fact(l + m) * fact(l - m))
+    out = jnp.zeros_like(cos_half)
+    for k in range(max(0, m - mp), min(l + m, l - mp) + 1):
+        denom = fact(l + m - k) * fact(k) * fact(mp - m + k) * fact(l - mp - k)
+        coef = ((-1.0) ** (mp - m + k)) * norm / denom
+        out = out + (coef * cos_half ** (2 * l + m - mp - 2 * k)
+                     * sin_half ** (mp - m + 2 * k))
+    return out
+
+
+def xphm_hplus_hcross(
+    freqs: jnp.ndarray,
+    m1,
+    m2,
+    chi1z,
+    chi2z,
+    chip,
+    distance_mpc,
+    inclination,
+    tc=0.0,
+    phic=0.0,
+    alpha0=0.0,
+    f_lower: float = 20.0,
+    modes: Sequence[Tuple[int, int]] = DEFAULT_MODES,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Precessing FD polarizations WITH higher harmonics (XPHM capability).
+
+    The PhenomP twist of gwkit.data.imrphenomp generalized to every carried
+    mode: each co-precessing (l, m) from :func:`phenomhm_modes` is rotated
+    into the inertial frame through the same leading-order Euler angles
+    (alpha, beta, epsilon), evaluated at the mode's mapped 22-equivalent
+    frequency (2/m) f (all modes share one orbital precession history), via
+    the full Wigner row d^l_{m',+-m}:
+
+      h+ - i hx  +=  0.5 h_lm e^{i m eps} sum_m' Y_lm' [ e^{-i m' alpha}
+          d^l_{m',m}  +-  (-1)^l e^{+i m' alpha} d^l_{m',-m} ]
+
+    (+ for h+ with the 1/2 front factor, the (-1)^l carrying the aligned
+    equatorial symmetry h_{l,-m} = (-1)^l conj(h_lm)). Exact reductions,
+    both tested: chip = 0 reproduces phenomhm_hplus_hcross identically;
+    modes = ((2,2),) reproduces imrphenomp.phenomp_hplus_hcross identically.
+    Reference capability: lalsuite IMRPhenomXPHM (MLGWSC-1/gen.py:131-147);
+    same validation boundary as the single-mode twist (module docstring of
+    gwkit.data.imrphenomp).
+    """
+    from gwkit.data.imrphenomp import precession_angles
+
+    hlms = phenomhm_modes(freqs, m1, m2, chi1z, chi2z, distance_mpc,
+                          tc, phic, f_lower, modes)
+    mtot = m1 + m2
+    s_z = (chi1z * m1 ** 2 + chi2z * m2 ** 2) / mtot ** 2
+    theta = jnp.asarray(inclination)
+    hp = jnp.zeros(jnp.shape(freqs), jnp.complex64)
+    hc = jnp.zeros(jnp.shape(freqs), jnp.complex64)
+    for (l, m), hlm in hlms.items():
+        f_r = (2.0 / m) * jnp.maximum(freqs, 1e-3)
+        alpha, cos_b, eps = precession_angles(
+            f_r, m1, m2, s_z, chip, alpha0, f_ref=f_lower)
+        # half-angle forms for the generic Wigner row (beta in [0, pi])
+        ch = jnp.sqrt(jnp.maximum((1.0 + cos_b) / 2.0, 0.0))
+        sh = jnp.sqrt(jnp.maximum((1.0 - cos_b) / 2.0, 0.0))
+        sym = (-1.0) ** l
+        tw = 0.5 * hlm * jnp.exp(1j * m * eps)
+        hp_sum = jnp.zeros_like(alpha, dtype=jnp.complex64)
+        hc_sum = jnp.zeros_like(alpha, dtype=jnp.complex64)
+        for mp in range(-l, l + 1):
+            y = sylm(l, mp, theta)
+            phase_mp = jnp.exp(-1j * mp * alpha)
+            t_pos = y * phase_mp * wigner_d(l, mp, m, ch, sh)
+            t_neg = y * jnp.conj(phase_mp) * wigner_d(l, mp, -m, ch, sh)
+            hp_sum = hp_sum + (t_pos + sym * t_neg)
+            hc_sum = hc_sum + 1j * (t_pos - sym * t_neg)
+        hp = hp + tw * hp_sum
+        hc = hc + tw * hc_sum
+    return hp, hc

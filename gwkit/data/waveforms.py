@@ -200,6 +200,12 @@ def _synthesize_batch(n: int, delta_t: float, m1, m2, dist, incl, tc, phic, f_lo
 
             hp, hc = phenomhm_hplus_hcross(
                 freqs, m1i, m2i, c1i, c2i, di, ii, tc=tci, phic=pci, f_lower=f_lower)
+        elif approximant == "imrphenomxphm":
+            from gwkit.data.higher_modes import xphm_hplus_hcross
+
+            hp, hc = xphm_hplus_hcross(
+                freqs, m1i, m2i, c1i, c2i, cpi, di, ii, tc=tci, phic=pci,
+                alpha0=a0i, f_lower=f_lower)
         else:
             hp, hc = phenomd_hplus_hcross(
                 freqs, m1i, m2i, c1i, c2i, di, ii, tc=tci, phic=pci, f_lower=f_lower)

@@ -120,6 +120,80 @@ def test_all_default_modes_finite_and_bounded():
     assert float(jnp.max(jnp.abs(hp))) < 1.5 * float(jnp.max(jnp.abs(hp0)))
 
 
+class TestXPHM:
+    """Precession twist x higher harmonics (gwkit.data.higher_modes.xphm_*)."""
+
+    def test_wigner_d_matches_handwritten_l2_row(self):
+        from gwkit.data.higher_modes import wigner_d
+        from gwkit.data.imrphenomp import _wigner_d2_row
+
+        cb = jnp.asarray(np.linspace(-0.99, 0.99, 7))
+        sb = jnp.sqrt(1 - cb ** 2)
+        ch, sh = jnp.sqrt((1 + cb) / 2), jnp.sqrt((1 - cb) / 2)
+        row = _wigner_d2_row(cb, sb)
+        for i, mp in enumerate((-2, -1, 0, 1, 2)):
+            np.testing.assert_allclose(wigner_d(2, mp, 2, ch, sh), row[i], atol=5e-7)
+
+    @pytest.mark.parametrize("lm", [(3, 3), (3, 2), (4, 4), (2, 1)])
+    def test_wigner_row_sum_rule(self, lm):
+        # sum_m' d^l_{m',m}^2 = 1: the rotation moves power between
+        # multipoles, never creates it
+        from gwkit.data.higher_modes import wigner_d
+
+        l, m = lm
+        cb = jnp.asarray(np.linspace(-0.99, 0.99, 9))
+        ch, sh = jnp.sqrt((1 + cb) / 2), jnp.sqrt((1 - cb) / 2)
+        tot = sum(wigner_d(l, mp, m, ch, sh) ** 2 for mp in range(-l, l + 1))
+        np.testing.assert_allclose(tot, 1.0, atol=2e-6)
+
+    def test_chip_zero_reduces_to_phenomhm(self):
+        from gwkit.data.higher_modes import xphm_hplus_hcross
+
+        hp0, hc0 = phenomhm_hplus_hcross(FREQS, 40.0, 15.0, 0.3, -0.2, 400.0, 1.1)
+        hp1, hc1 = xphm_hplus_hcross(FREQS, 40.0, 15.0, 0.3, -0.2, 0.0, 400.0, 1.1)
+        s = float(jnp.max(jnp.abs(hp0)))
+        assert float(jnp.max(jnp.abs(hp1 - hp0))) < 1e-4 * s
+        assert float(jnp.max(jnp.abs(hc1 - hc0))) < 1e-4 * s
+
+    def test_22_only_reduces_to_phenomp(self):
+        from gwkit.data.higher_modes import xphm_hplus_hcross
+        from gwkit.data.imrphenomp import phenomp_hplus_hcross
+
+        a = (FREQS, 40.0, 15.0, 0.3, -0.2, 0.4, 400.0, 1.1)
+        hp0, hc0 = phenomp_hplus_hcross(*a, alpha0=0.7)
+        hp1, hc1 = xphm_hplus_hcross(*a, alpha0=0.7, modes=((2, 2),))
+        s = float(jnp.max(jnp.abs(hp0)))
+        assert float(jnp.max(jnp.abs(hp1 - hp0))) < 1e-4 * s
+        assert float(jnp.max(jnp.abs(hc1 - hc0))) < 1e-4 * s
+
+    def test_full_finite_and_td_synthesis(self):
+        from gwkit.data.waveforms import td_polarizations
+
+        params = {
+            "mass1": np.array([40.0]),
+            "mass2": np.array([15.0]),
+            "distance": np.array([400.0]),
+            "inclination": np.array([1.1]),
+            "tc": np.array([6.0]),
+            "coa_phase": np.array([0.4]),
+            "spin1z": np.array([0.3]),
+            "spin2z": np.array([-0.2]),
+            "chi_p": np.array([0.6]),
+            "alpha0": np.array([0.3]),
+        }
+        hp, hc = td_polarizations(params, 8.0, 2048.0, approximant="imrphenomxphm")
+        assert bool(jnp.all(jnp.isfinite(hp))) and bool(jnp.all(jnp.isfinite(hc)))
+        hp_p, _ = td_polarizations(params, 8.0, 2048.0, approximant="imrphenomp")
+        # precession+HM differs from the single-mode twist for this system
+        assert float(jnp.max(jnp.abs(hp - hp_p))) > 1e-3 * float(jnp.max(jnp.abs(hp_p)))
+
+    def test_challenge_ds34_uses_xphm(self):
+        from gwkit.data.generate import challenge_distribution
+
+        assert challenge_distribution(3).approximant == "imrphenomxphm"
+        assert challenge_distribution(4).approximant == "imrphenomxphm"
+
+
 def test_td_synthesis_approximant():
     from gwkit.data.waveforms import td_polarizations
 
