@@ -20,11 +20,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _devices_with_retry():
+    """jax.devices(), re-execing this process on transient backend outages.
+
+    The tunneled TPU backend intermittently reports UNAVAILABLE for minutes
+    at a time; backend-init failures can stick inside a process, so retry by
+    replacing the process (env BENCH_INIT_ATTEMPT counts attempts)."""
+    import time
+
+    import jax
+
+    try:
+        return jax.devices()
+    except RuntimeError as exc:
+        attempt = int(os.environ.get("BENCH_INIT_ATTEMPT", "0"))
+        if "UNAVAILABLE" not in str(exc) or attempt >= 5:
+            raise
+        print(f"backend unavailable (attempt {attempt + 1}/5), retrying in 120s",
+              file=sys.stderr, flush=True)
+        time.sleep(120)
+        os.environ["BENCH_INIT_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+
+
 def main():
     # (persistent compile cache intentionally NOT enabled: it hangs the
     # axon remote-compile relay; see gwkit.utils.platform notes)
     import jax
     import jax.numpy as jnp
+
+    _devices_with_retry()
 
     from gwkit.models.whisper import config_for
     from gwkit.search.engine import score_segments
