@@ -118,6 +118,59 @@ def pn_mode_ratio(l: int, m: int, v, eta, delta):
 MODE_PHASE = {(2, 2): 0.0, (2, 1): 0.5 * math.pi, (3, 3): -0.5 * math.pi,
               (3, 2): 0.0, (4, 4): math.pi}
 
+#: (l,m,0) Kerr QNM fits, Berti/Cardoso/Will 2006 table VIII:
+#: omega_R M_f = f1 + f2 (1-a)^f3. Anchored in tests at a = 0 against the
+#: exact Schwarzschild frequencies (0.37367 / 0.59944 / 0.80918 for
+#: l = 2/3/4, m-independent) to the fits' known ~2% accuracy.
+QNM_FITS = {
+    (2, 2): (1.5251, -1.1568, 0.1292),
+    (2, 1): (0.6000, -0.2339, 0.4175),
+    (3, 3): (1.8956, -1.3043, 0.1818),
+    (3, 2): (1.1481, -0.5552, 0.3002),
+    (4, 4): (2.3000, -1.5056, 0.2244),
+}
+
+
+def qnm_frequency_lm(l: int, m: int, final_a, erad):
+    """Mode ringdown frequency Mf_RD(l,m) in INITIAL-total-mass units.
+
+    Same convention as gwkit.data.imrphenomd.qnm_ringdown (the (2,2) row of
+    QNM_FITS is that function's fit): remnant-mass geometric frequency
+    scaled by 1/(1 - E_rad)."""
+    c1, c2, c3 = QNM_FITS[(l, m)]
+    a = jnp.clip(final_a, -0.999, 0.999)
+    omega = c1 + c2 * (1.0 - a) ** c3
+    return omega / (2.0 * jnp.pi * (1.0 - erad))
+
+
+def _mode_freq_map(mf, l, m, coeffs, f_rdlm):
+    """PhenomHM three-region map F(mf): lm-mode geometric frequency ->
+    equivalent (2,2) geometric frequency (London et al. 2018 eq. 5-13
+    structure).
+
+    inspiral  (mf <= (m/2) Mf_ins):   F = (2/m) mf       (shared orbit)
+    ringdown  (mf >= Mf_RDlm):        F = kappa mf,  kappa = Mf_RD22/Mf_RDlm
+                                      (lands the mode's ringdown on its own
+                                      QNM frequency)
+    intermediate:                     linear, C0 at both boundaries.
+
+    For (2,2) every region reduces to the identity (kappa = 1), so the
+    mapped model is EXACTLY PhenomD for the dominant mode. Returns
+    (F, f1, a_int, kappa) — the boundaries/slopes the phase stitching needs.
+    """
+    from gwkit.data.imrphenomd import PHI_F_JOIN_INS
+
+    f_ins22 = PHI_F_JOIN_INS
+    f1 = (m / 2.0) * f_ins22
+    f_rd22 = coeffs.f_rd
+    kappa = f_rd22 / f_rdlm
+    a_int = (f_rd22 - f_ins22) / (f_rdlm - f1)
+    b_int = f_ins22 - a_int * f1
+    f_map = jnp.where(
+        mf <= f1, (2.0 / m) * mf,
+        jnp.where(mf < f_rdlm, a_int * mf + b_int, kappa * mf))
+    return f_map, f1, a_int, kappa
+
 
 def phenomhm_modes(
     freqs: jnp.ndarray,
@@ -130,15 +183,27 @@ def phenomhm_modes(
     phic=0.0,
     f_lower: float = 20.0,
     modes: Sequence[Tuple[int, int]] = DEFAULT_MODES,
+    ringdown_map: bool = True,
 ):
     """dict {(l, m): h_lm(f)} of positive-m FD modes (SPA, h = A e^{-i psi}).
 
-    Each mode is PhenomD's (2,2) re-evaluated at f_22 = (2/m) f:
-    psi_lm = 2 pi f tc - (m/2) phic - pi/4 + (m/2) phi_22(2f/m) and
-    A_lm = sqrt(2/m) |H_lm/H_22|(v) A_22(2f/m). The band mask keeps
-    orbital content from the same start: f in [(m/2) f_lower, (m/2) f_cut22]
-    — the (3,3) mode of a binary entering at 20 Hz has support from 30 Hz.
+    Each mode is PhenomD's (2,2) re-evaluated at the mapped frequency
+    F(f): with ``ringdown_map`` (default) the PhenomHM three-region map of
+    :func:`_mode_freq_map` — (2/m) f through the inspiral, per-mode-QNM
+    scaled through ringdown, linear between — with the phase C1-stitched
+    across regions by per-region time/phase constants (the same stitching
+    pattern PhenomD itself uses across its own regions); with
+    ``ringdown_map=False`` the pure leading-order (2/m) f map everywhere.
+
+    psi_lm = 2 pi f tc - (m/2) phic - pi/4 + (m/2) phi_22(F(f)) [+ stitch]
+    and A_lm = sqrt(2/m) |H_lm/H_22|(v) A_22(F(f)) with v capped at the
+    22 amplitude peak (the leading PN ratio is an inspiral quantity). The
+    band mask keeps orbital content from the same start: support begins at
+    (m/2) f_lower — the (3,3) mode of a binary entering at 20 Hz has
+    support from 30 Hz.
     """
+    import jax
+
     from gwkit.data import imrphenomd
 
     mtot_s = (m1 + m2) * MTSUN_SI
@@ -146,24 +211,48 @@ def phenomhm_modes(
     delta = jnp.abs(m1 - m2) / (m1 + m2)
     mc_s = ((m1 * m2) ** (3.0 / 5.0) / (m1 + m2) ** (1.0 / 5.0)) * MTSUN_SI
     d_s = distance_mpc * MPC_SI / C_SI
-    f_cut22 = imrphenomd.F_CUT / mtot_s
     coeffs = imrphenomd.phenomd_coeffs(eta, chi1, chi2)
+    af = imrphenomd.final_spin(eta, chi1, chi2)
+    erad = imrphenomd.radiated_energy(eta, chi1, chi2)
+    v_peak = (jnp.pi * imrphenomd._amp_peak_freq(coeffs)) ** (1.0 / 3.0)
+    dphi22 = jax.grad(lambda x: imrphenomd.phenomd_phase(x, coeffs))
 
     out = {}
     for (l, m) in modes:
         scale = 2.0 / m
-        f_r = scale * jnp.maximum(freqs, 1e-3)  # mapped (2,2) frequency
-        mf_r = mtot_s * f_r
-        ampc = imrphenomd.phenomd_amplitude(mf_r, coeffs)
-        phase = imrphenomd.phenomd_phase(mf_r, coeffs)
+        half_m = m / 2.0
+        mf = mtot_s * jnp.maximum(freqs, 1e-3)  # lm-mode geometric frequency
+        if ringdown_map:
+            f_rdlm = qnm_frequency_lm(l, m, af, erad)
+            f_map, fb1, a_int, kappa = _mode_freq_map(mf, l, m, coeffs, f_rdlm)
+            # C1 stitching: per-region linear-in-f (time shift) + constant
+            # (phase shift) so value AND derivative are continuous at both
+            # boundaries. Region-1 derivative is phi22'(F) * (2/m) * (m/2)
+            # = phi22' — the shared-orbit inspiral needs no correction.
+            dp_f1 = dphi22(jnp.asarray(imrphenomd.PHI_F_JOIN_INS, mf.dtype))
+            dp_rd = dphi22(coeffs.f_rd)
+            tau2 = (1.0 - half_m * a_int) * dp_f1
+            c2 = -tau2 * fb1
+            tau3 = half_m * a_int * dp_rd + tau2 - half_m * kappa * dp_rd
+            c3 = c2 + (tau2 - tau3) * f_rdlm
+            stitch = jnp.where(
+                mf <= fb1, 0.0,
+                jnp.where(mf < f_rdlm, tau2 * mf + c2, tau3 * mf + c3))
+            mf_cut = imrphenomd.F_CUT / kappa
+        else:
+            f_map = scale * mf
+            stitch = 0.0
+            mf_cut = imrphenomd.F_CUT / scale
+        ampc = imrphenomd.phenomd_amplitude(f_map, coeffs)
+        phase = half_m * imrphenomd.phenomd_phase(f_map, coeffs) + stitch
         carrier = (
             jnp.sqrt(5.0 / 24.0)
             * jnp.pi ** (-2.0 / 3.0)
             * mc_s ** (5.0 / 6.0)
             / d_s
-            * f_r ** (-7.0 / 6.0)
+            * (f_map / mtot_s) ** (-7.0 / 6.0)
         )
-        v = (jnp.pi * mtot_s * f_r) ** (1.0 / 3.0)
+        v = jnp.minimum((jnp.pi * f_map) ** (1.0 / 3.0), v_peak)
         ratio = pn_mode_ratio(l, m, v, eta, delta)
         # carrier*ampc is the ALIGNED-h convention of waveforms.phenomd_h22
         # (hp = h (1+c^2)/2); the true (2,2) mode amplitude is
@@ -171,9 +260,9 @@ def phenomhm_modes(
         # PhenomP twist (gwkit/data/imrphenomp.py h_p22 normalization).
         mode_units = 1.0 / (2.0 * math.sqrt(5.0 / (64.0 * math.pi)))
         amp = mode_units * math.sqrt(scale) * ratio * carrier * ampc
-        band = (freqs >= f_lower / scale) & (freqs <= f_cut22 / scale)
-        psi = (2.0 * jnp.pi * freqs * tc - (m / 2.0) * phic - jnp.pi / 4.0
-               + (m / 2.0) * phase - MODE_PHASE[(l, m)])
+        band = (freqs >= half_m * f_lower) & (mf <= mf_cut)
+        psi = (2.0 * jnp.pi * freqs * tc - half_m * phic - jnp.pi / 4.0
+               + phase - MODE_PHASE[(l, m)])
         out[(l, m)] = jnp.where(band, amp, 0.0) * jnp.exp(-1j * psi)
     return out
 

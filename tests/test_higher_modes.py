@@ -70,19 +70,92 @@ def test_higher_modes_vanish_at_equal_mass():
 
 
 def test_mode_band_and_peak_scaling():
-    # mode (l,m) has orbital content from (m/2) f_lower, and its spectrum is
-    # the 22's stretched by m/2: the (3,3) amplitude peak sits at 1.5x the
-    # (2,2)'s on a common grid
-    modes = phenomhm_modes(FREQS, 45.0, 15.0, 0.0, 0.0, 400.0)
-    f22 = float(FREQS[int(jnp.argmax(jnp.abs(modes[(2, 2)])))])
-    f33 = float(FREQS[int(jnp.argmax(jnp.abs(modes[(3, 3)])))])
-    f44 = float(FREQS[int(jnp.argmax(jnp.abs(modes[(4, 4)])))])
+    # leading-order map ((2/m) f everywhere): the (3,3) amplitude peak sits
+    # at exactly 1.5x the (2,2)'s on a common grid
+    modes = phenomhm_modes(FREQS, 45.0, 15.0, 0.0, 0.0, 400.0,
+                           ringdown_map=False)
+    # weight out the f^{-7/6} carrier so the argmax tracks the merger
+    # amplitude bump, not the band start
+    w = jnp.where(FREQS > 1, FREQS ** (7.0 / 6.0), 0.0)
+    f22 = float(FREQS[int(jnp.argmax(jnp.abs(modes[(2, 2)]) * w))])
+    f33 = float(FREQS[int(jnp.argmax(jnp.abs(modes[(3, 3)]) * w))])
+    f44 = float(FREQS[int(jnp.argmax(jnp.abs(modes[(4, 4)]) * w))])
     assert abs(f33 / f22 - 1.5) < 0.05
     assert abs(f44 / f22 - 2.0) < 0.05
     # band start: (3,3) support begins at 1.5 * f_lower
     m33 = np.asarray(jnp.abs(modes[(3, 3)]))
     first = float(FREQS[np.nonzero(m33)[0][0]])
     assert abs(first - 1.5 * 20.0) < 0.5
+
+
+def test_qnm_map_moves_peaks_past_rescale():
+    # with the per-mode QNM ringdown map (default) the (3,3)/(4,4) peaks sit
+    # ABOVE the pure (m/2) rescale, at ratios set by the Kerr spectrum
+    # (omega_33/omega_22 ~ 1.55-1.65 at moderate final spin)
+    modes = phenomhm_modes(FREQS, 45.0, 15.0, 0.0, 0.0, 400.0)
+    w = jnp.where(FREQS > 1, FREQS ** (7.0 / 6.0), 0.0)
+    f22 = float(FREQS[int(jnp.argmax(jnp.abs(modes[(2, 2)]) * w))])
+    f33 = float(FREQS[int(jnp.argmax(jnp.abs(modes[(3, 3)]) * w))])
+    f44 = float(FREQS[int(jnp.argmax(jnp.abs(modes[(4, 4)]) * w))])
+    assert 1.5 < f33 / f22 < 1.75
+    assert 2.0 < f44 / f22 < 2.4
+
+
+def test_qnm_fits_schwarzschild_anchor():
+    # at a = 0 every fit must land on the exact Schwarzschild l-pole
+    # frequency (m-independent): within the fits' documented ~2% accuracy
+    from gwkit.data.higher_modes import QNM_FITS, qnm_frequency_lm
+
+    exact = {2: 0.37367, 3: 0.59944, 4: 0.80918}
+    for (l, m) in QNM_FITS:
+        omega = float(qnm_frequency_lm(l, m, 0.0, 0.0)) * 2 * np.pi
+        assert abs(omega - exact[l]) / exact[l] < 0.025, (l, m, omega)
+
+
+def test_qnm_map_structure():
+    # the map is continuous, increasing, identity for (2,2), and sends the
+    # mode's own ringdown frequency exactly onto the 22's
+    from gwkit.data import imrphenomd
+    from gwkit.data.higher_modes import _mode_freq_map, qnm_frequency_lm
+
+    eta, c1, c2 = 0.2, 0.3, -0.1
+    coeffs = imrphenomd.phenomd_coeffs(eta, c1, c2)
+    af = imrphenomd.final_spin(eta, c1, c2)
+    erad = imrphenomd.radiated_energy(eta, c1, c2)
+    mf = jnp.asarray(np.linspace(1e-4, 0.4, 4001))
+    for (l, m) in ((2, 2), (3, 3), (4, 4), (2, 1), (3, 2)):
+        f_rdlm = qnm_frequency_lm(l, m, af, erad)
+        fmap, _, _, _ = _mode_freq_map(mf, l, m, coeffs, f_rdlm)
+        assert bool(jnp.all(jnp.diff(fmap) > 0)), (l, m)
+        at_rd = _mode_freq_map(f_rdlm[None], l, m, coeffs, f_rdlm)[0][0]
+        np.testing.assert_allclose(float(at_rd), float(coeffs.f_rd), rtol=1e-5)
+        if (l, m) == (2, 2):
+            np.testing.assert_allclose(np.asarray(fmap), np.asarray(mf), rtol=1e-6)
+
+
+def test_qnm_map_phase_is_c1_at_boundaries():
+    # numerical phase derivative across each region boundary of the (3,3)
+    # map shows no jump (the stitching matches value AND derivative)
+    from gwkit.data import imrphenomd
+    from gwkit.data.higher_modes import MTSUN_SI, qnm_frequency_lm
+
+    m1, m2 = 45.0, 15.0
+    mtot_s = (m1 + m2) * MTSUN_SI
+    eta = (m1 * m2) / (m1 + m2) ** 2
+    af = imrphenomd.final_spin(eta, 0.0, 0.0)
+    er = imrphenomd.radiated_energy(eta, 0.0, 0.0)
+    boundaries = [1.5 * imrphenomd.PHI_F_JOIN_INS,
+                  float(qnm_frequency_lm(3, 3, af, er))]
+    for b in boundaries:
+        f_hz = b / mtot_s
+        grid = jnp.asarray(np.linspace(f_hz * 0.99, f_hz * 1.01, 201))
+        h33 = phenomhm_modes(grid, m1, m2, 0.0, 0.0, 400.0)[(3, 3)]
+        d1 = np.diff(np.unwrap(np.angle(np.asarray(h33))))
+        jump = float(np.max(np.abs(np.diff(d1))))
+        slope = float(np.median(np.abs(d1)))
+        # floor at 1e-4 rad: f32 quantization of a ~1e5-rad phase dominates
+        # any genuine kink well below this
+        assert jump < max(0.05 * slope, 1e-4), (b, jump, slope)
 
 
 def test_pn_hierarchy_ordering():
