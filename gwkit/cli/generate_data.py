@@ -40,6 +40,14 @@ def parse_args(argv=None):
     tr.add_argument("--n-valid", type=int, default=200)
     tr.add_argument("--window-duration", type=float, default=1.0)
     tr.add_argument("--sample-rate", type=float, default=2048.0)
+    tr.add_argument("--approximant", type=str, default="imrphenomd",
+                    choices=["taylorf2", "imrphenomd", "imrphenomhm",
+                             "imrphenomp", "imrphenomxphm"],
+                    help="waveform model for the injection population "
+                         "(gen.py's apx choice; precessing models sample "
+                         "isotropic spin vectors)")
+    tr.add_argument("--spin-max", type=float, default=0.0,
+                    help="max spin magnitude (0 = non-spinning)")
 
     gl = sub.add_parser("glitch", help="Gravity Spy-style glitch corpus (synthetic, or fetched from open data).")
     gl.add_argument("-o", "--output", type=str, required=True)
@@ -78,11 +86,17 @@ def main(argv=None):
         print("challenge data written")
     elif args.mode == "training":
         from gwkit.data.generate import generate_training_set
+        from gwkit.data.waveforms import SourceDistribution
 
         check_file_existence(args.output, args.force)
+        precessing = args.approximant in ("imrphenomp", "imrphenomxphm")
+        dist = SourceDistribution(
+            spin_max=args.spin_max or (0.99 if precessing else 0.0),
+            isotropic_spins=precessing, approximant=args.approximant)
         generate_training_set(
             args.output, n_train=args.n_train, n_valid=args.n_valid,
             window_duration=args.window_duration, sample_rate=args.sample_rate, seed=args.seed,
+            distribution=dist,
         )
         print(f"training set written to {args.output}")
     elif getattr(args, "gravityspy_csv", None):
