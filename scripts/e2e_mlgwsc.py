@@ -132,8 +132,13 @@ def main():
         from gwkit.data.segments import restrict_segments, default_o3a_segments
 
         segs = restrict_segments(default_o3a_segments(), duration)
-        generate_challenge_data(fg, bg, inj, duration=duration, seed=11, segments=segs)
-        print(f"challenge data in {time.time()-t0:.0f}s")
+        # E2E_DATASET=3 evaluates on the precessing+higher-mode challenge
+        # population (imrphenomxphm injections) — the reference's hard
+        # datasets — with the same aligned-trained model
+        e2e_ds = int(os.environ.get("E2E_DATASET", "1"))
+        generate_challenge_data(fg, bg, inj, duration=duration, seed=11, segments=segs,
+                                dataset=e2e_ds)
+        print(f"challenge data (ds{e2e_ds}) in {time.time()-t0:.0f}s")
 
     # ---- 4. search (trained weights, USR scores) ----
     usr_task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc,
