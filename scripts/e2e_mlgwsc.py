@@ -117,11 +117,21 @@ def main():
         return {"val_auc": auc}
 
     rundir = os.path.join(out, "run")
-    t0 = time.time()
-    trainer.fit(lambda k: train_ds.batches(k, 64),
-                lambda k: valid_ds.batches(k, 64, shuffle=False),
-                outdir=rundir, force=True, eval_callback=eval_metrics)
-    print(f"trained in {time.time()-t0:.0f}s")
+    best_ckpt = os.path.join(rundir, "best.npz")
+    if os.environ.get("E2E_SKIP_TRAIN", "0") == "1" and os.path.isfile(best_ckpt):
+        # reuse an already-trained run (e.g. to re-evaluate the same model on
+        # a different challenge dataset via E2E_DATASET)
+        from gwkit.train.checkpoints import load_pytree
+
+        trainer.trainable = jax.tree.map(
+            np.asarray, load_pytree(best_ckpt, task.trainable)[0])
+        print(f"reusing trained weights from {best_ckpt}")
+    else:
+        t0 = time.time()
+        trainer.fit(lambda k: train_ds.batches(k, 64),
+                    lambda k: valid_ds.batches(k, 64, shuffle=False),
+                    outdir=rundir, force=True, eval_callback=eval_metrics)
+        print(f"trained in {time.time()-t0:.0f}s")
 
     # ---- 3. challenge data ----
     fg, bg, inj = (os.path.join(out, n) for n in ("fg.hdf", "bg.hdf", "inj.hdf"))
