@@ -234,9 +234,11 @@ def td_polarizations(
     ``params``: arrays 'mass1','mass2','distance' (Mpc), 'inclination',
     'tc' (s, within [0, duration)), 'coa_phase', and for spinning
     approximants 'spin1z','spin2z' (aligned components; default 0).
-    approximant='imrphenomp' additionally consumes 'chi_p' (effective
+    Precessing approximants ('imrphenomp': l=2 PhenomP twist;
+    'imrphenomxphm': the twist applied to every higher mode of
+    gwkit.data.higher_modes) additionally consume 'chi_p' (effective
     precession spin, Schmidt et al. 2015) and 'alpha0' (initial precession
-    phase) — the PhenomP twist of gwkit.data.imrphenomp.
+    phase); 'imrphenomhm' adds the aligned higher harmonics alone.
     """
     n = int(round(duration * sample_rate))
     b = len(params["mass1"])
@@ -265,8 +267,9 @@ class SourceDistribution:
     spin_max) (dataset 2 semantics); ``True`` samples isotropic spin
     VECTORS with magnitude U(0, spin_max) — the datasets 3/4 population —
     keeping the z components for the co-precessing aligned model and
-    summarizing the in-plane parts as chi_p/alpha0 for the PhenomP twist
-    (gwkit.data.imrphenomp; pair with approximant='imrphenomp')."""
+    summarizing the in-plane parts as chi_p/alpha0 for the precession
+    twist (pair with approximant='imrphenomp' or, with higher modes,
+    'imrphenomxphm' — the challenge ds3/4 default)."""
 
     mass_min: float = 10.0
     mass_max: float = 50.0
