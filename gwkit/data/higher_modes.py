@@ -335,6 +335,7 @@ def xphm_hplus_hcross(
     alpha0=0.0,
     f_lower: float = 20.0,
     modes: Sequence[Tuple[int, int]] = DEFAULT_MODES,
+    angle_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Precessing FD polarizations WITH higher harmonics (XPHM capability).
 
@@ -354,7 +355,10 @@ def xphm_hplus_hcross(
     modes = ((2,2),) reproduces imrphenomp.phenomp_hplus_hcross identically.
     Reference capability: lalsuite IMRPhenomXPHM (MLGWSC-1/gen.py:131-147);
     same validation boundary as the single-mode twist (module docstring of
-    gwkit.data.imrphenomp).
+    gwkit.data.imrphenomp). ``angle_fn`` swaps the leading-order closed-form
+    angles for a caller-supplied model (e.g. the two-spin ODE integration in
+    gwkit.data.precession_ode); when given, ``chip``/``alpha0`` only feed
+    the default path and are ignored.
     """
     from gwkit.data.imrphenomp import precession_angles
 
@@ -367,8 +371,13 @@ def xphm_hplus_hcross(
     hc = jnp.zeros(jnp.shape(freqs), jnp.complex64)
     for (l, m), hlm in hlms.items():
         f_r = (2.0 / m) * jnp.maximum(freqs, 1e-3)
-        alpha, cos_b, eps = precession_angles(
-            f_r, m1, m2, s_z, chip, alpha0, f_ref=f_lower)
+        if angle_fn is not None:
+            # the same orbital precession history serves every mode,
+            # evaluated at its (2/m)-mapped 22-equivalent frequency
+            alpha, cos_b, eps = angle_fn(f_r)
+        else:
+            alpha, cos_b, eps = precession_angles(
+                f_r, m1, m2, s_z, chip, alpha0, f_ref=f_lower)
         # half-angle forms for the generic Wigner row (beta in [0, pi])
         ch = jnp.sqrt(jnp.maximum((1.0 + cos_b) / 2.0, 0.0))
         sh = jnp.sqrt(jnp.maximum((1.0 - cos_b) / 2.0, 0.0))

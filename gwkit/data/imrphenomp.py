@@ -136,6 +136,7 @@ def phenomp_hplus_hcross(
     phic=0.0,
     alpha0=0.0,
     f_lower: float = 20.0,
+    angle_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Precessing FD polarizations on the given grid (PhenomP twist).
 
@@ -143,13 +144,24 @@ def phenomp_hplus_hcross(
     line of sight (theta_JN); ``alpha0`` is the initial precession phase
     (the azimuth of the in-plane spin). chip = 0 reduces exactly to
     :func:`gwkit.data.waveforms.phenomd_hplus_hcross`.
+
+    ``angle_fn`` (optional): a callable ``freqs -> (alpha, cos_beta, eps)``
+    replacing the leading-order single-spin closed form — e.g. the two-spin
+    numerical model from
+    :func:`gwkit.data.precession_ode.precession_angles_numerical`. The
+    closed form remains the default (and the challenge generator's default)
+    so existing golden vectors are unchanged.
     """
     from gwkit.data.waveforms import phenomd_h22
 
     h = phenomd_h22(freqs, m1, m2, chi1z, chi2z, distance_mpc, tc, phic, f_lower)
     mtot = m1 + m2
     s_z = (chi1z * m1 ** 2 + chi2z * m2 ** 2) / mtot ** 2
-    alpha, cos_b, eps = precession_angles(freqs, m1, m2, s_z, chip, alpha0, f_ref=f_lower)
+    if angle_fn is not None:
+        alpha, cos_b, eps = angle_fn(freqs)
+    else:
+        alpha, cos_b, eps = precession_angles(
+            freqs, m1, m2, s_z, chip, alpha0, f_ref=f_lower)
     sin_b = jnp.sqrt(jnp.maximum(1.0 - cos_b ** 2, 0.0))
 
     d2 = _wigner_d2_row(cos_b, sin_b)               # d^2_{m,2}

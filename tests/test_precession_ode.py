@@ -1,0 +1,142 @@
+"""Two-spin numerical precession angles: conservation laws, limits, and the
+genuine two-spin effect the closed-form chi_p model cannot carry.
+
+No lalsuite oracle exists here (module docstring of gwkit.data.imrphenomp
+states the validation boundary), so the ODE model is pinned by its exact
+invariants instead: |S_i| conservation, J-direction stability over the
+inspiral band, the aligned reduction, agreement with the closed-form
+leading-order alpha rate in the regime where that form is valid, and exact
+chi_p = 0 twist reduction when driven through ``angle_fn``.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gwkit.data.imrphenomp import phenomp_hplus_hcross, precession_angles
+from gwkit.data.precession_ode import (
+    integrate_precession,
+    precession_angles_numerical,
+)
+
+FREQS = np.linspace(0.0, 1024.0, 8193)  # 16 s @ 2048 Hz rfft grid
+
+
+def test_spin_magnitudes_conserved_through_merger_band():
+    v, l, s1, s2 = integrate_precession(
+        36.0, 29.0, [0.5, 0.0, 0.3], [0.0, 0.4, -0.2], 20.0, 1024.0)
+    n1 = np.linalg.norm(np.asarray(s1), axis=1)
+    n2 = np.linalg.norm(np.asarray(s2), axis=1)
+    np.testing.assert_allclose(n1, n1[0], rtol=1e-5)
+    np.testing.assert_allclose(n2, n2[0], rtol=1e-5)
+    # Lhat stays unit
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(l), axis=1), 1.0, rtol=1e-5)
+
+
+def test_j_direction_stable_over_inspiral():
+    """Simple precession: Jhat wanders by < 1 degree while v < 0.4. It
+    drifts more later — radiation reaction shrinks |L| so Jhat genuinely
+    tilts toward the residual total spin (measured: ~1.6 deg by v = 0.5,
+    ~7 deg by v = 1) — that is physics, not integrator error; the
+    integrator-error proxies are the |S_i| and |Lhat| norms above."""
+    v, l, s1, s2 = integrate_precession(
+        36.0, 29.0, [0.4, 0.0, 0.2], [0.0, 0.3, -0.1], 20.0, 1024.0)
+    v = np.asarray(v)
+    eta = 36.0 * 29.0 / 65.0 ** 2
+    J = (eta / v)[:, None] * np.asarray(l) + np.asarray(s1) + np.asarray(s2)
+    Jh = J / np.linalg.norm(J, axis=1, keepdims=True)
+    band = v < 0.4
+    cosang = np.clip((Jh[band] * Jh[0]).sum(axis=1), -1.0, 1.0)
+    assert np.degrees(np.arccos(cosang)).max() < 1.0
+
+
+def test_aligned_limit_is_exactly_frozen():
+    fn = precession_angles_numerical(
+        36.0, 29.0, [0.0, 0.0, 0.4], [0.0, 0.0, -0.1], alpha0=0.7)
+    a, cb, e = fn(jnp.asarray(FREQS))
+    np.testing.assert_allclose(np.asarray(a), 0.7, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cb), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e), 0.7, atol=1e-6)
+
+
+def test_alpha_rate_matches_leading_order_single_spin():
+    """For one small in-plane spin on the larger body and a light companion,
+    d(alpha)/dv from the ODE must track the closed form's
+    -(5/96)(2+3q/2) d(v^-3)/dv leading-order rate in the early inspiral."""
+    m1, m2 = 40.0, 10.0
+    chip = 0.05
+    fn = precession_angles_numerical(
+        m1, m2, [chip, 0.0, 0.0], [0.0, 0.0, 0.0], alpha0=0.0)
+    f = jnp.asarray(FREQS)
+    a_num, _, _ = fn(f)
+    a_lo, _, _ = precession_angles(f, m1, m2, 0.0, chip, 0.0, f_ref=20.0)
+    # compare the accumulated alpha over an early-inspiral window
+    lo_band = (FREQS > 22.0) & (FREQS < 40.0)
+    da_num = np.diff(np.asarray(a_num)[lo_band])
+    da_lo = np.diff(np.asarray(a_lo)[lo_band])
+    ratio = da_num.sum() / da_lo.sum()
+    assert 0.9 < ratio < 1.1, ratio
+
+
+def test_two_spin_effect_exists():
+    """In-plane spin on the SMALLER body changes the numerical angles even
+    at fixed chi_p — the scalar-chi_p closed form cannot represent this."""
+    f = jnp.asarray(FREQS)
+    base = precession_angles_numerical(
+        36.0, 29.0, [0.3, 0.0, 0.2], [0.0, 0.0, 0.1], alpha0=0.0)
+    twisted = precession_angles_numerical(
+        36.0, 29.0, [0.3, 0.0, 0.2], [0.0, 0.35, 0.1], alpha0=0.0)
+    a1, cb1, _ = base(f)
+    a2, cb2, _ = twisted(f)
+    band = (FREQS > 20.0) & (FREQS < 300.0)
+    assert np.abs(np.asarray(cb1 - cb2))[band].max() > 1e-3
+    assert np.abs(np.asarray(a1 - a2))[band].max() > 1e-2
+
+
+def test_angle_fn_gauge_matches_closed_form_at_reference():
+    """alpha(f_ref) = alpha0 and eps(f_ref) = alpha(f_ref) — the closed
+    form's gauge — so the two models are drop-in interchangeable."""
+    fn = precession_angles_numerical(
+        36.0, 29.0, [0.4, 0.0, 0.2], [0.0, 0.3, -0.1], alpha0=1.2)
+    a, cb, e = fn(jnp.asarray([20.0]))
+    np.testing.assert_allclose(float(a[0]), 1.2, atol=1e-5)
+    np.testing.assert_allclose(float(e[0]), float(a[0]), atol=1e-5)
+
+
+def test_twist_through_angle_fn_reduces_when_angles_are_trivial():
+    """Driving the twist with a frozen-angle angle_fn (beta = 0) must
+    reproduce the aligned waveform — the same reduction the chip = 0 path
+    takes, but exercised through the angle_fn plumbing."""
+    f = jnp.asarray(FREQS)
+
+    def trivial(freqs):
+        z = jnp.zeros(jnp.shape(freqs), jnp.float32)
+        return z, jnp.ones(jnp.shape(freqs), jnp.float32), z
+
+    args = dict(m1=36.0, m2=29.0, chi1z=0.2, chi2z=-0.1,
+                distance_mpc=410.0, inclination=0.9, tc=0.1, phic=0.4,
+                f_lower=20.0)
+    hp_ref, hc_ref = phenomp_hplus_hcross(f, chip=0.0, **args)
+    hp_fn, hc_fn = phenomp_hplus_hcross(
+        f, chip=0.7, angle_fn=trivial, **args)   # chip must be ignored
+    np.testing.assert_allclose(
+        np.asarray(hp_fn), np.asarray(hp_ref), rtol=2e-5, atol=1e-28)
+    np.testing.assert_allclose(
+        np.asarray(hc_fn), np.asarray(hc_ref), rtol=2e-5, atol=1e-28)
+
+
+def test_twist_with_numerical_angles_produces_modulation():
+    f = jnp.asarray(FREQS)
+    fn = precession_angles_numerical(
+        36.0, 29.0, [0.6, 0.0, 0.0], [0.0, 0.5, 0.0], alpha0=0.0)
+    hp_p, _ = phenomp_hplus_hcross(
+        f, m1=36.0, m2=29.0, chi1z=0.0, chi2z=0.0, chip=0.0,
+        distance_mpc=410.0, inclination=1.2, angle_fn=fn)
+    hp_a, _ = phenomp_hplus_hcross(
+        f, m1=36.0, m2=29.0, chi1z=0.0, chi2z=0.0, chip=0.0,
+        distance_mpc=410.0, inclination=1.2)
+    band = (FREQS > 25.0) & (FREQS < 200.0)
+    ratio = np.abs(np.asarray(hp_p))[band] / np.abs(np.asarray(hp_a))[band]
+    # precession modulates the band amplitude: substantial spread
+    assert ratio.std() / ratio.mean() > 0.02
