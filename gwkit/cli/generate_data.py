@@ -42,10 +42,14 @@ def parse_args(argv=None):
     tr.add_argument("--sample-rate", type=float, default=2048.0)
     tr.add_argument("--approximant", type=str, default="imrphenomd",
                     choices=["taylorf2", "imrphenomd", "imrphenomhm",
-                             "imrphenomp", "imrphenomxphm"],
+                             "imrphenomp", "imrphenomxphm",
+                             "imrphenomp-twospin", "imrphenomxphm-twospin"],
                     help="waveform model for the injection population "
                          "(gen.py's apx choice; precessing models sample "
-                         "isotropic spin vectors)")
+                         "isotropic spin vectors; '-twospin' variants "
+                         "integrate the orbit-averaged two-spin precession "
+                         "ODE for the Euler angles instead of the "
+                         "leading-order chi_p twist)")
     tr.add_argument("--spin-max", type=float, default=0.0,
                     help="max spin magnitude (0 = non-spinning)")
 
@@ -89,7 +93,8 @@ def main(argv=None):
         from gwkit.data.waveforms import SourceDistribution
 
         check_file_existence(args.output, args.force)
-        precessing = args.approximant in ("imrphenomp", "imrphenomxphm")
+        precessing = args.approximant.split("-")[0] in (
+            "imrphenomp", "imrphenomxphm")
         dist = SourceDistribution(
             spin_max=args.spin_max or (0.99 if precessing else 0.0),
             isotropic_spins=precessing, approximant=args.approximant)

@@ -217,6 +217,7 @@ def _training_windows_batch(
         jnp.asarray(np.stack(fcs, 1), jnp.float32),
         jnp.asarray(np.stack(dls, 1), jnp.float32),
         psd_wave_n, jnp.float32(scale),
+        as32("spin1x"), as32("spin1y"), as32("spin2x"), as32("spin2y"),
     )
     return np.asarray(out)
 
@@ -225,44 +226,25 @@ def _training_windows_batch(
 def _training_windows_jit(
     n, delta_t, f_lower, approximant, mfl_dur, s0, n_window, tc_in_window,
     m1, m2, dist, incl, phic, c1, c2, chip, a0, fp, fc, delay, psd_n, scale,
+    s1x, s1y, s2x, s2y,
 ):
-    from gwkit.data.waveforms import phenomd_hplus_hcross, taylorf2_hplus_hcross
+    from gwkit.data.waveforms import fd_polarizations_switch
 
     delta_f = 1.0 / (n * delta_t)
     freqs = jnp.arange(n // 2 + 1) * delta_f
 
-    def one(m1i, m2i, di, ii, pci, c1i, c2i, cpi, a0i, fpi, fci, dli):
-        if approximant == "taylorf2":
-            hp, hc = taylorf2_hplus_hcross(
-                freqs, m1i, m2i, di, ii, tc=tc_in_window, phic=pci, f_lower=f_lower)
-        elif approximant == "imrphenomp":
-            from gwkit.data.imrphenomp import phenomp_hplus_hcross
-
-            hp, hc = phenomp_hplus_hcross(
-                freqs, m1i, m2i, c1i, c2i, cpi, di, ii, tc=tc_in_window,
-                phic=pci, alpha0=a0i, f_lower=f_lower)
-        elif approximant == "imrphenomhm":
-            from gwkit.data.higher_modes import phenomhm_hplus_hcross
-
-            hp, hc = phenomhm_hplus_hcross(
-                freqs, m1i, m2i, c1i, c2i, di, ii, tc=tc_in_window,
-                phic=pci, f_lower=f_lower)
-        elif approximant == "imrphenomxphm":
-            from gwkit.data.higher_modes import xphm_hplus_hcross
-
-            hp, hc = xphm_hplus_hcross(
-                freqs, m1i, m2i, c1i, c2i, cpi, di, ii, tc=tc_in_window,
-                phic=pci, alpha0=a0i, f_lower=f_lower)
-        else:
-            hp, hc = phenomd_hplus_hcross(
-                freqs, m1i, m2i, c1i, c2i, di, ii, tc=tc_in_window, phic=pci,
-                f_lower=f_lower)
+    def one(m1i, m2i, di, ii, pci, c1i, c2i, cpi, a0i, fpi, fci, dli,
+            s1xi, s1yi, s2xi, s2yi):
+        hp, hc = fd_polarizations_switch(
+            freqs, approximant, f_lower, m1i, m2i, di, ii, tc_in_window,
+            pci, c1i, c2i, cpi, a0i, s1xi, s1yi, s2xi, s2yi)
         # sub-sample detector delay as an FD phase (replaces host np.roll)
         phase = jnp.exp(-2j * jnp.pi * freqs[None, :] * dli[:, None])  # (D, F)
         hdet = (fpi[:, None] * hp[None, :] + fci[:, None] * hc[None, :]) * phase
         return jnp.fft.irfft(hdet, n, axis=-1) / delta_t  # (D, n)
 
-    h = jax.vmap(one)(m1, m2, dist, incl, phic, c1, c2, chip, a0, fp, fc, delay)
+    h = jax.vmap(one)(m1, m2, dist, incl, phic, c1, c2, chip, a0, fp, fc,
+                      delay, s1x, s1y, s2x, s2y)
     h = h * scale
     snrs = optimal_snr(h, psd_n, delta_t, f_lower)  # (B, D)
     net = network_snr(snrs, axis=-1)

@@ -178,48 +178,86 @@ def phenomd_hplus_hcross(
     return hplus, hcross
 
 
+APPROXIMANTS = (
+    "taylorf2", "imrphenomd", "imrphenomp", "imrphenomhm", "imrphenomxphm",
+    "imrphenomp-twospin", "imrphenomxphm-twospin",
+)
+
+
+def fd_polarizations_switch(
+    freqs, approximant: str, f_lower, m1i, m2i, di, ii, tci, pci,
+    c1i, c2i, cpi, a0i, s1xi=0.0, s1yi=0.0, s2xi=0.0, s2yi=0.0,
+):
+    """Single-waveform FD (hp, hc) for every supported approximant string.
+
+    The one dispatch point shared by :func:`_synthesize_batch` and the
+    challenge generator's on-device window synthesis
+    (gwkit.data.generate._training_windows_jit). ``approximant`` is a
+    static (trace-time) string; the '-twospin' variants replace the
+    leading-order chi_p Euler angles with the orbit-averaged two-spin ODE
+    solution (gwkit.data.precession_ode), consuming the full in-plane spin
+    components instead of their chi_p summary — the closest available
+    analogue of the reference's lalsuite IMRPhenomXPHM two-spin angles
+    (MLGWSC-1/gen.py:131-147).
+    """
+    if approximant.endswith("-twospin"):
+        from gwkit.data.precession_ode import precession_angles_numerical
+
+        angle_fn = precession_angles_numerical(
+            m1i, m2i,
+            jnp.stack([jnp.asarray(s1xi, jnp.float32),
+                       jnp.asarray(s1yi, jnp.float32),
+                       jnp.asarray(c1i, jnp.float32)]),
+            jnp.stack([jnp.asarray(s2xi, jnp.float32),
+                       jnp.asarray(s2yi, jnp.float32),
+                       jnp.asarray(c2i, jnp.float32)]),
+            alpha0=a0i, f_ref=f_lower)
+    else:
+        angle_fn = None
+
+    if approximant == "taylorf2":
+        return taylorf2_hplus_hcross(
+            freqs, m1i, m2i, di, ii, tc=tci, phic=pci, f_lower=f_lower)
+    if approximant in ("imrphenomp", "imrphenomp-twospin"):
+        from gwkit.data.imrphenomp import phenomp_hplus_hcross
+
+        return phenomp_hplus_hcross(
+            freqs, m1i, m2i, c1i, c2i, cpi, di, ii, tc=tci, phic=pci,
+            alpha0=a0i, f_lower=f_lower, angle_fn=angle_fn)
+    if approximant == "imrphenomhm":
+        from gwkit.data.higher_modes import phenomhm_hplus_hcross
+
+        return phenomhm_hplus_hcross(
+            freqs, m1i, m2i, c1i, c2i, di, ii, tc=tci, phic=pci,
+            f_lower=f_lower)
+    if approximant in ("imrphenomxphm", "imrphenomxphm-twospin"):
+        from gwkit.data.higher_modes import xphm_hplus_hcross
+
+        return xphm_hplus_hcross(
+            freqs, m1i, m2i, c1i, c2i, cpi, di, ii, tc=tci, phic=pci,
+            alpha0=a0i, f_lower=f_lower, angle_fn=angle_fn)
+    return phenomd_hplus_hcross(
+        freqs, m1i, m2i, c1i, c2i, di, ii, tc=tci, phic=pci, f_lower=f_lower)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 9))
 def _synthesize_batch(n: int, delta_t: float, m1, m2, dist, incl, tc, phic, f_lower,
                       approximant: str = "imrphenomd", chi1=None, chi2=None,
-                      chip=None, alpha0=None):
+                      chip=None, alpha0=None, s1x=None, s1y=None, s2x=None,
+                      s2y=None):
     delta_f = 1.0 / (n * delta_t)
     freqs = jnp.arange(n // 2 + 1) * delta_f
 
-    def one(m1i, m2i, di, ii, tci, pci, c1i, c2i, cpi, a0i):
-        if approximant == "taylorf2":
-            hp, hc = taylorf2_hplus_hcross(
-                freqs, m1i, m2i, di, ii, tc=tci, phic=pci, f_lower=f_lower)
-        elif approximant == "imrphenomp":
-            from gwkit.data.imrphenomp import phenomp_hplus_hcross
-
-            hp, hc = phenomp_hplus_hcross(
-                freqs, m1i, m2i, c1i, c2i, cpi, di, ii, tc=tci, phic=pci,
-                alpha0=a0i, f_lower=f_lower)
-        elif approximant == "imrphenomhm":
-            from gwkit.data.higher_modes import phenomhm_hplus_hcross
-
-            hp, hc = phenomhm_hplus_hcross(
-                freqs, m1i, m2i, c1i, c2i, di, ii, tc=tci, phic=pci, f_lower=f_lower)
-        elif approximant == "imrphenomxphm":
-            from gwkit.data.higher_modes import xphm_hplus_hcross
-
-            hp, hc = xphm_hplus_hcross(
-                freqs, m1i, m2i, c1i, c2i, cpi, di, ii, tc=tci, phic=pci,
-                alpha0=a0i, f_lower=f_lower)
-        else:
-            hp, hc = phenomd_hplus_hcross(
-                freqs, m1i, m2i, c1i, c2i, di, ii, tc=tci, phic=pci, f_lower=f_lower)
+    def one(m1i, m2i, di, ii, tci, pci, c1i, c2i, cpi, a0i, s1xi, s1yi, s2xi, s2yi):
+        hp, hc = fd_polarizations_switch(
+            freqs, approximant, f_lower, m1i, m2i, di, ii, tci, pci,
+            c1i, c2i, cpi, a0i, s1xi, s1yi, s2xi, s2yi)
         return jnp.fft.irfft(hp, n) / delta_t, jnp.fft.irfft(hc, n) / delta_t
 
-    if chi1 is None:
-        chi1 = jnp.zeros_like(m1)
-    if chi2 is None:
-        chi2 = jnp.zeros_like(m1)
-    if chip is None:
-        chip = jnp.zeros_like(m1)
-    if alpha0 is None:
-        alpha0 = jnp.zeros_like(m1)
-    return jax.vmap(one)(m1, m2, dist, incl, tc, phic, chi1, chi2, chip, alpha0)
+    zeros = jnp.zeros_like(m1)
+    args = [chi1, chi2, chip, alpha0, s1x, s1y, s2x, s2y]
+    args = [zeros if a is None else a for a in args]
+    return jax.vmap(one)(m1, m2, dist, incl, tc, phic, *args)
 
 
 def td_polarizations(
@@ -238,7 +276,11 @@ def td_polarizations(
     'imrphenomxphm': the twist applied to every higher mode of
     gwkit.data.higher_modes) additionally consume 'chi_p' (effective
     precession spin, Schmidt et al. 2015) and 'alpha0' (initial precession
-    phase); 'imrphenomhm' adds the aligned higher harmonics alone.
+    phase); 'imrphenomhm' adds the aligned higher harmonics alone. The
+    '-twospin' variants ('imrphenomp-twospin', 'imrphenomxphm-twospin')
+    instead consume the full in-plane components 'spin1x','spin1y',
+    'spin2x','spin2y' and integrate the two-spin precession ODE
+    (gwkit.data.precession_ode) for the Euler angles.
     """
     n = int(round(duration * sample_rate))
     b = len(params["mass1"])
@@ -252,6 +294,8 @@ def td_polarizations(
         f_lower, approximant,
         as32("spin1z", 0.0), as32("spin2z", 0.0),
         as32("chi_p", 0.0), as32("alpha0", 0.0),
+        as32("spin1x", 0.0), as32("spin1y", 0.0),
+        as32("spin2x", 0.0), as32("spin2y", 0.0),
     )
 
 
@@ -289,6 +333,7 @@ class SourceDistribution:
         distance = dc * (mc / mc_bns) ** (5.0 / 6.0)
         chip = np.zeros(n)
         alpha0 = np.zeros(n)
+        extra: Dict[str, np.ndarray] = {}
         if self.spin_max <= 0.0:
             s1z = np.zeros(n)
             s2z = np.zeros(n)
@@ -309,14 +354,23 @@ class SourceDistribution:
             sin1 = np.sqrt(1.0 - cos1 ** 2)
             sin2 = np.sqrt(1.0 - cos2 ** 2)
             s1z, s2z = a1 * cos1, a2 * cos2
-            chip = np.asarray(_chi_p(
-                m1, m2, a1 * sin1 * np.cos(phi1), a1 * sin1 * np.sin(phi1),
-                a2 * sin2 * np.cos(phi2), a2 * sin2 * np.sin(phi2)))
+            s1x, s1y = a1 * sin1 * np.cos(phi1), a1 * sin1 * np.sin(phi1)
+            s2x, s2y = a2 * sin2 * np.cos(phi2), a2 * sin2 * np.sin(phi2)
+            chip = np.asarray(_chi_p(m1, m2, s1x, s1y, s2x, s2y))
             alpha0 = phi1  # precession phase of the dominant (larger-body) spin
+            # the full vectors ride along so the '-twospin' ODE approximants
+            # can consume what chi_p summarizes
+            extra = {
+                "spin1x": s1x.astype(np.float32),
+                "spin1y": s1y.astype(np.float32),
+                "spin2x": s2x.astype(np.float32),
+                "spin2y": s2y.astype(np.float32),
+            }
         else:
             s1z = rng.uniform(-self.spin_max, self.spin_max, n)
             s2z = rng.uniform(-self.spin_max, self.spin_max, n)
         return {
+            **extra,
             "chi_p": chip.astype(np.float32),
             "alpha0": alpha0.astype(np.float32),
             "mass1": m1.astype(np.float32),

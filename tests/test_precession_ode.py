@@ -140,3 +140,62 @@ def test_twist_with_numerical_angles_produces_modulation():
     ratio = np.abs(np.asarray(hp_p))[band] / np.abs(np.asarray(hp_a))[band]
     # precession modulates the band amplitude: substantial spread
     assert ratio.std() / ratio.mean() > 0.02
+
+
+class TestTwoSpinApproximants:
+    """The '-twospin' approximant strings: table plumbing through
+    td_polarizations and the challenge generator's synthesis switch."""
+
+    def _params(self, rng, n=3):
+        from gwkit.data.waveforms import SourceDistribution
+
+        dist = SourceDistribution(spin_max=0.9, isotropic_spins=True)
+        p = dist.sample(rng, n)
+        for k in ("spin1x", "spin1y", "spin2x", "spin2y"):
+            assert k in p, k
+        return p
+
+    def test_td_polarizations_twospin_differs_from_chip_summary(self):
+        from gwkit.data.waveforms import td_polarizations
+
+        p = self._params(np.random.default_rng(7))
+        hp_ode, hc_ode = td_polarizations(
+            p, 8.0, 2048.0, approximant="imrphenomxphm-twospin")
+        hp_lo, _ = td_polarizations(p, 8.0, 2048.0, approximant="imrphenomxphm")
+        assert bool(jnp.all(jnp.isfinite(hp_ode)))
+        assert bool(jnp.all(jnp.isfinite(hc_ode)))
+        scale = float(jnp.max(jnp.abs(hp_lo)))
+        assert float(jnp.max(jnp.abs(hp_ode - hp_lo))) > 0.01 * scale
+
+    def test_aligned_table_reduces_to_lo_path(self):
+        """With zero in-plane spin the ODE angles freeze, so the '-twospin'
+        variant must agree with the chi_p = 0 leading-order path."""
+        from gwkit.data.waveforms import SourceDistribution, td_polarizations
+
+        p = SourceDistribution(spin_max=0.5).sample(np.random.default_rng(3), 3)
+        ha, _ = td_polarizations(p, 8.0, 2048.0, approximant="imrphenomxphm-twospin")
+        hb, _ = td_polarizations(p, 8.0, 2048.0, approximant="imrphenomxphm")
+        scale = float(jnp.max(jnp.abs(hb)))
+        np.testing.assert_allclose(
+            np.asarray(ha), np.asarray(hb), atol=2e-4 * scale)
+
+    def test_generator_window_synthesis_accepts_twospin(self):
+        """The on-device training-window path (generate._training_windows_
+        batch) must synthesize finite, nonzero windows for the '-twospin'
+        approximant, i.e. the spin-vector columns survive the jit plumbing."""
+        from gwkit.data.generate import _training_windows_batch
+        from gwkit.ops.psd import get_psd
+
+        p = self._params(np.random.default_rng(11), n=2)
+        p["tc"] = np.zeros(2)
+        n = int(4.0 * 2048.0)
+        psd = get_psd("aLIGOZeroDetHighPower", n // 2 + 1, 1.0 / 4.0, 15.0)
+        psd_n = jnp.asarray((psd / psd[psd > 0].mean()).astype(np.float32))
+        out = _training_windows_batch(
+            p, slice(0, 2), wave_duration=4.0, sample_rate=2048.0,
+            f_lower=20.0, scale=1.0, detectors=("H1", "L1"),
+            psd_wave_n=psd_n, mfl_dur=0.5, s0=2048, n_window=2048,
+            tc_frac=0.75, approximant="imrphenomxphm-twospin")
+        assert out.shape == (2, 2, 2048)
+        assert np.isfinite(out).all()
+        assert np.abs(out).max() > 0.0
