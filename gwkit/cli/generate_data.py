@@ -33,6 +33,13 @@ def parse_args(argv=None):
     ch.add_argument("-i", "--output-injection-file", type=str, required=True)
     ch.add_argument("--duration", type=float, default=86400.0)
     ch.add_argument("--sample-rate", type=float, default=2048.0)
+    ch.add_argument("--approximant", type=str, default=None,
+                    choices=["imrphenomd", "imrphenomhm", "imrphenomp",
+                             "imrphenomxphm", "imrphenomxphm-twospin"],
+                    help="override the per-dataset approximant split "
+                         "(default: imrphenomd for ds1/2, imrphenomxphm for "
+                         "ds3/4; 'imrphenomxphm-twospin' injects with the "
+                         "two-spin precession-ODE Euler angles)")
 
     tr = sub.add_parser("training", help="Training/validation corpus (gen.py).")
     tr.add_argument("-o", "--output", type=str, required=True)
@@ -81,11 +88,20 @@ def main(argv=None):
             psd_names = dict(spec.split("=", 1) for spec in args.psd_file)
         if args.dataset == 4 and not args.real_noise_file:
             raise SystemExit("dataset 4 needs --real-noise-file")
+        distribution = None
+        if args.approximant:
+            import dataclasses
+
+            from gwkit.data.generate import challenge_distribution
+
+            distribution = dataclasses.replace(
+                challenge_distribution(args.dataset), approximant=args.approximant)
         generate_challenge_data(
             args.output_foreground_file, args.output_background_file, args.output_injection_file,
             duration=args.duration, sample_rate=args.sample_rate, seed=args.seed,
             psd_names=psd_names, dataset=args.dataset,
             real_noise_path=args.real_noise_file,
+            distribution=distribution,
         )
         print("challenge data written")
     elif args.mode == "training":

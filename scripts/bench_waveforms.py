@@ -26,7 +26,8 @@ def main():
         force_cpu()
     import jax
 
-    from gwkit.data.waveforms import SourceDistribution, td_polarizations
+    from gwkit.data.waveforms import (
+        APPROXIMANTS, SourceDistribution, td_polarizations)
 
     batch = int(os.environ.get("WF_BATCH", "256"))
     dur, fs = float(os.environ.get("WF_DURATION", "16")), 2048.0
@@ -34,8 +35,8 @@ def main():
     print(f"backend: {jax.devices()[0].platform}, batch {batch}, {dur:.0f}s @ {fs:.0f}Hz")
 
     rng = np.random.default_rng(0)
-    for apx in ("taylorf2", "imrphenomd", "imrphenomhm", "imrphenomp", "imrphenomxphm"):
-        precessing = apx in ("imrphenomp", "imrphenomxphm")
+    for apx in APPROXIMANTS:
+        precessing = apx.split("-")[0] in ("imrphenomp", "imrphenomxphm")
         dist = SourceDistribution(spin_max=0.99 if precessing else 0.5,
                                   isotropic_spins=precessing, approximant=apx)
         params = dist.sample(rng, batch)
