@@ -15,12 +15,15 @@ arXiv:1708.00404 — their eq. 5 "rescaled-PhenomD" ansatz):
   instead of the mode's own QNM f_RDlm (a ~5-10% placement bias for
   (3,3)/(4,4) — the refinement PhenomHM adds with per-mode QNM maps and
   the one documented deviation of this model);
-* mode amplitudes follow the leading post-Newtonian hierarchy
-  |H_lm/H_22|(v) (Blanchet's living review / Arun et al. 2009): the odd-m
-  modes enter at O(v) with the mass-asymmetry delta = (m1-m2)/M, the
-  (3,2)/(4,4) at O(v^2) with (1-3 eta) — so all higher modes vanish
-  identically at equal mass (tested) and the SPA Jacobian contributes
-  sqrt(2/m) (both legs at the same orbital time t_f: Phi_dot = 2 pi f / m);
+* mode amplitudes follow the post-Newtonian hierarchy |H_lm/H_22|(v)
+  (Blanchet's living review / Arun et al. 2009): the odd-m modes enter at
+  O(v) with the mass-asymmetry delta = (m1-m2)/M and carry the
+  relative-PN modulus corrections through O(v^3) (see
+  :func:`pn_mode_ratio`); the (3,2)/(4,4) at O(v^2) with (1-3 eta) at
+  leading order (their 1PN series breaks down mid-inspiral — documented in
+  pn_mode_ratio) — so the odd-m modes vanish identically at equal mass
+  (tested) and the SPA Jacobian contributes sqrt(2/m) (both legs at the
+  same orbital time t_f: Phi_dot = 2 pi f / m);
 * polarizations assemble with spin-weight -2 spherical harmonics and the
   aligned-spin equatorial symmetry h_{l,-m} = (-1)^l conj(h_{lm}), the
   standard positive-frequency FD form
@@ -86,10 +89,11 @@ def sylm(l: int, m: int, theta) -> jnp.ndarray:
     return math.sqrt((2 * l + 1) / (4.0 * math.pi)) * out
 
 
-def pn_mode_ratio(l: int, m: int, v, eta, delta):
-    """|H_lm / H_22| at leading PN order (non-spinning amplitudes).
+def pn_mode_ratio(l: int, m: int, v, eta, delta, pn_amplitude: bool = True):
+    """|H_lm / H_22| of the non-spinning PN mode amplitudes.
 
-    Blanchet living-review mode amplitudes, leading order each:
+    Leading order each (Blanchet living-review / Kidder 2008 mode
+    amplitudes):
       (2,2): 1
       (2,1): (1/3) delta v
       (3,3): (3/4) sqrt(15/14) delta v
@@ -97,13 +101,41 @@ def pn_mode_ratio(l: int, m: int, v, eta, delta):
       (4,4): (8/9) sqrt(10/7) (1 - 3 eta) v^2
     delta = (m1 - m2)/M; v is the orbital velocity at the MODE's mapped
     frequency, v = (pi M (2 f / m))^(1/3).
+
+    ``pn_amplitude`` (default) multiplies the odd-m ratios by the
+    relative-PN amplitude series of the modulus through O(v^3)
+    (Blanchet-Faye-Iyer-Sinha 2008 / Kidder 2008 eq. 80; the O(v^3)
+    imaginary parts only enter the modulus at O(v^6) and are dropped):
+
+      hat-H_22 = 1 + v^2 (-107/42 + 55 eta/42) + 2 pi v^3
+      hat-H_21 = 1 + v^2 (-17/28 + 5 eta/7)    +   pi v^3
+      hat-H_33 = 1 + v^2 (-4 + 2 eta)          + 3 pi v^3
+
+    so ratio_lm *= |hat-H_lm| / |hat-H_22|. The (3,2)/(4,4) relative-1PN
+    coefficients ((-193/90 + 145 eta/18 - 73 eta^2/18) and (-593/110 +
+    1273 eta/66 - 175 eta^2/22) over (1 - 3 eta)) are large and negative —
+    the truncated series crosses zero mid-inspiral (v ~ 0.45-0.48 across
+    the challenge mass range), which models that calibrate to it repair
+    with NR-fitted pseudo-PN terms (e.g. PhenomXHM's inspiral amplitude);
+    with no NR data available those two modes deliberately stay at leading
+    order rather than inheriting a spurious mid-band null.
     """
     if (l, m) == (2, 2):
         return jnp.ones_like(v)
+    corr = 1.0
+    if pn_amplitude and m % 2 == 1:
+        h22 = 1.0 + v ** 2 * (-107.0 / 42.0 + 55.0 * eta / 42.0) \
+            + 2.0 * math.pi * v ** 3
+        if (l, m) == (2, 1):
+            hlm = 1.0 + v ** 2 * (-17.0 / 28.0 + 5.0 * eta / 7.0) \
+                + math.pi * v ** 3
+        else:  # (3, 3)
+            hlm = 1.0 + v ** 2 * (-4.0 + 2.0 * eta) + 3.0 * math.pi * v ** 3
+        corr = jnp.abs(hlm) / jnp.maximum(jnp.abs(h22), 0.3)
     if (l, m) == (2, 1):
-        return (1.0 / 3.0) * delta * v
+        return (1.0 / 3.0) * delta * v * corr
     if (l, m) == (3, 3):
-        return 0.75 * math.sqrt(15.0 / 14.0) * delta * v
+        return 0.75 * math.sqrt(15.0 / 14.0) * delta * v * corr
     if (l, m) == (3, 2):
         return (1.0 / 3.0) * math.sqrt(5.0 / 7.0) * (1.0 - 3.0 * eta) * v ** 2
     if (l, m) == (4, 4):

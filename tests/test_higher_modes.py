@@ -169,8 +169,53 @@ def test_pn_hierarchy_ordering():
     assert 0 < r21 < r33 < 1.0
     assert 0 < r44 < 1.0
     # leading-order values (Blanchet LRR): (1/3) delta v, (3/4)sqrt(15/14) delta v
-    np.testing.assert_allclose(r21, delta * 0.3 / 3.0, rtol=1e-6)
-    np.testing.assert_allclose(r33, 0.75 * math.sqrt(15.0 / 14.0) * delta * 0.3, rtol=1e-6)
+    r21_lo = float(pn_mode_ratio(2, 1, v, eta, delta, pn_amplitude=False))
+    r33_lo = float(pn_mode_ratio(3, 3, v, eta, delta, pn_amplitude=False))
+    np.testing.assert_allclose(r21_lo, delta * 0.3 / 3.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        r33_lo, 0.75 * math.sqrt(15.0 / 14.0) * delta * 0.3, rtol=1e-6)
+
+
+def test_pn_amplitude_corrections():
+    """The relative-PN modulus series of the odd-m ratios (pn_mode_ratio
+    docstring): -> 1 as v -> 0, match the hand-evaluated series mid-band,
+    leave the even-m modes at leading order, and stay finite/positive."""
+    eta, delta = 0.1875, 0.5
+
+    # v -> 0: correction factor -> 1 (ratio -> leading order)
+    v0 = jnp.asarray(1e-3)
+    np.testing.assert_allclose(
+        float(pn_mode_ratio(2, 1, v0, eta, delta)),
+        float(pn_mode_ratio(2, 1, v0, eta, delta, pn_amplitude=False)),
+        rtol=1e-4)
+
+    # mid-band: ratio = leading * |hat-H_lm| / |hat-H_22| with the
+    # documented coefficients
+    v = 0.35
+    h22 = 1.0 + v ** 2 * (-107.0 / 42.0 + 55.0 * eta / 42.0) + 2.0 * math.pi * v ** 3
+    h21 = 1.0 + v ** 2 * (-17.0 / 28.0 + 5.0 * eta / 7.0) + math.pi * v ** 3
+    h33 = 1.0 + v ** 2 * (-4.0 + 2.0 * eta) + 3.0 * math.pi * v ** 3
+    np.testing.assert_allclose(
+        float(pn_mode_ratio(2, 1, jnp.asarray(v), eta, delta)),
+        (delta * v / 3.0) * abs(h21) / abs(h22), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(pn_mode_ratio(3, 3, jnp.asarray(v), eta, delta)),
+        0.75 * math.sqrt(15.0 / 14.0) * delta * v * abs(h33) / abs(h22),
+        rtol=1e-5)
+
+    # even-m modes deliberately stay at leading order (series breakdown,
+    # see pn_mode_ratio docstring)
+    for lm in ((3, 2), (4, 4)):
+        np.testing.assert_allclose(
+            float(pn_mode_ratio(*lm, jnp.asarray(v), eta, delta)),
+            float(pn_mode_ratio(*lm, jnp.asarray(v), eta, delta,
+                                pn_amplitude=False)), rtol=1e-7)
+
+    # finite and positive across the full v range up to a merger-ish cap
+    vs = jnp.linspace(0.01, 0.75, 64)
+    for lm in ((2, 1), (3, 3)):
+        r = np.asarray(pn_mode_ratio(*lm, vs, eta, delta))
+        assert np.isfinite(r).all() and (r > 0).all()
 
 
 def test_hm_contribution_grows_with_asymmetry_and_inclination():
