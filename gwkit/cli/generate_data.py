@@ -67,6 +67,12 @@ def parse_args(argv=None):
                     help="Gravity Spy trigger CSVs: fetch real open-data strain "
                          "via gwpy (network required) instead of synthesizing.")
     gl.add_argument("--max-rows-per-file", type=int, default=None)
+    gl.add_argument("--realistic", action="store_true",
+                    help="embed the morphologies in PSD-colored noise at "
+                         "Gravity-Spy-like per-class SNRs and run the real "
+                         "builder's whiten/highpass/asymmetric-crop pipeline "
+                         "(generate_glitch_dataset.py:31-72 semantics) instead "
+                         "of adding white noise in the whitened domain")
     from gwkit.utils.config import parse_with_config
 
     return parse_with_config(p, argv)
@@ -129,9 +135,12 @@ def main(argv=None):
     else:
         import h5py
 
-        from gwkit.data.glitch import synthetic_glitch_dataset
+        from gwkit.data.glitch import realistic_glitch_dataset, synthetic_glitch_dataset
 
-        x, y = synthetic_glitch_dataset(args.n_per_class, seed=args.seed)
+        if getattr(args, "realistic", False):
+            x, y = realistic_glitch_dataset(args.n_per_class, seed=args.seed)
+        else:
+            x, y = synthetic_glitch_dataset(args.n_per_class, seed=args.seed)
         with h5py.File(args.output, "w") as f:
             f.create_dataset("strain", data=x)
             f.create_dataset("labels", data=y)

@@ -41,7 +41,9 @@ def parse_args(argv=None):
                    help="int8 projections inside the fused encoder kernel (TPU).")
     p.add_argument("--warmup", type=float, default=0.0,
                    help="Compile the scoring program on this many seconds of "
-                        "synthetic strain before accepting requests.")
+                        "synthetic strain before accepting requests (through "
+                        "the real request path; >256 s also compiles the "
+                        "fused long-segment program, e.g. 272).")
     p.add_argument("--watch", type=str, default=None,
                    help="Online mode: poll this directory and score every new "
                         ".hdf strain file into <stem>_events.hdf (instead of "

@@ -44,16 +44,22 @@ def preprocess_glitch_strain(
     segment_duration: float = 4.0,
     highpass_hz: float = 30.0,
     crop_duration: float = 1.0,
+    psd=None,
 ) -> np.ndarray:
     """(B, N) raw strain around a trigger -> (B, crop) whitened/highpassed
     windows centered on the trigger (generate_glitch_dataset.py semantics:
     whiten with 4 s PSD segments, 30 Hz highpass, 1 s center crop).
     ``crop_duration=None`` skips the center crop (callers that crop by GPS
-    time themselves, e.g. gwkit.data.fetch)."""
+    time themselves, e.g. gwkit.data.fetch). ``psd`` whitens with a KNOWN
+    one-sided PSD instead of the data-estimated one — with it the pipeline
+    is exactly linear in ``strain`` (needed for amplitude calibration:
+    data-estimated whitening is scale-INVARIANT, see
+    :func:`realistic_glitch_dataset`)."""
     white = np.asarray(
         whiten_estimate(
             strain, delta_t=1.0 / sample_rate,
             segment_duration=segment_duration, max_filter_duration=1.0,
+            psd=psd,
         )
     )
     sos = scipy.signal.butter(8, highpass_hz, "highpass", fs=sample_rate, output="sos")
@@ -183,6 +189,7 @@ def realistic_glitch_dataset(
     span: float = 8.0,
     psd_name: str = "aLIGOZeroDetHighPower",
     batch: int = 64,
+    return_achieved: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(strain [N, T], labels [N]) with the morphologies embedded in
     PSD-COLORED noise and passed through the real builder's pipeline.
@@ -198,6 +205,15 @@ def realistic_glitch_dataset(
     highpass ringing, per-class loudness, and the reference's asymmetric
     crop all appear in the training distribution. Output is normalized to
     unit (robust) background std.
+
+    Injection amplitudes are calibrated against the KNOWN noise PSD (a
+    fixed linear filter) — NOT by self-whitening the noiseless glitch,
+    which is scale-invariant and would leave the achieved SNR spread by the
+    morphology amplitude draw. ``return_achieved=True`` additionally
+    returns the per-sample (achieved, target) SNRs where "achieved" is
+    measured through the reference-faithful DATA-ESTIMATED whitening (the
+    pipeline the shipped crops actually go through) — a non-circular
+    diagnostic used by the calibration test.
     """
     from gwkit.data.noise import colored_noise
     from gwkit.ops.psd import get_psd
@@ -214,6 +230,7 @@ def realistic_glitch_dataset(
 
     mid = n_span // 2
     xs, ys = [], []
+    achieved, targets = [], []
     for ci, cls in enumerate(GLITCH_CLASSES):
         for s in range(0, n_per_class, batch):
             b = min(batch, n_per_class - s)
@@ -227,14 +244,18 @@ def realistic_glitch_dataset(
             key, k_noise = jax.random.split(key)
             noise = colored_noise(k_noise, n_span, 1.0 / sample_rate,
                                   jnp.broadcast_to(psd_n, (b, psd_n.shape[0])))
-            # calibrate the injection amplitude so the POST-pipeline matched
-            # amplitude hits the target SNR: one noiseless pass measures the
-            # per-sample whitened L2 per unit amplitude against the measured
-            # background level
+            # Calibrate the injection amplitude so the POST-pipeline glitch
+            # hits the target SNR. The calibration pass MUST whiten with the
+            # KNOWN noise PSD: data-estimated whitening normalizes by the
+            # input's own spectrum and is therefore scale-invariant — a
+            # noiseless self-whitened pass would measure the same "unit" L2
+            # for every drawn morphology amplitude, leaving the achieved SNR
+            # spread by the U(3,10) amplitude draw. With the fixed psd_n
+            # filter the pipeline is linear, so L2(lam*colored) = lam*L2.
             pure = preprocess_glitch_strain(jnp.asarray(colored), sample_rate,
-                                            crop_duration=None)
+                                            crop_duration=None, psd=psd_n)
             bg = np.asarray(preprocess_glitch_strain(noise, sample_rate,
-                                                     crop_duration=None))
+                                                     crop_duration=None, psd=psd_n))
             bg_std = np.median(np.abs(bg), axis=-1) / 0.6745
             unit_snr = np.sqrt((pure ** 2).sum(axis=-1)) / np.maximum(bg_std, 1e-30)
             if cls == "No Glitch":
@@ -245,6 +266,16 @@ def realistic_glitch_dataset(
             data = np.asarray(noise) + lam[:, None] * colored
             white = preprocess_glitch_strain(jnp.asarray(data), sample_rate,
                                              crop_duration=None)
+            if return_achieved:
+                # measured through the data-estimated pipeline the shipped
+                # crops go through (non-circular: lam was calibrated with
+                # the known-PSD filter, this re-measures with the Welch one)
+                wn = np.asarray(preprocess_glitch_strain(
+                    noise, sample_rate, crop_duration=None))
+                bg2 = np.median(np.abs(wn), axis=-1) / 0.6745
+                ach = np.sqrt(((white - wn) ** 2).sum(axis=-1)) / np.maximum(bg2, 1e-30)
+                achieved.extend(ach.tolist())
+                targets.extend((lam * unit_snr).tolist())
             # reference's asymmetric crop: [t_glitch - 0.8 s, t_glitch + 0.2 s)
             m2 = white.shape[-1] // 2
             lo = m2 - int(0.8 * sample_rate)
@@ -256,6 +287,9 @@ def realistic_glitch_dataset(
     xs = np.concatenate(xs)
     ys = np.asarray(ys, np.int32)
     order = rng.permutation(len(xs))
+    if return_achieved:
+        return xs[order], ys[order], (np.asarray(achieved)[order],
+                                      np.asarray(targets)[order])
     return xs[order], ys[order]
 
 

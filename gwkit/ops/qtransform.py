@@ -105,17 +105,26 @@ class QPlan:
     src_idx: np.ndarray                # index into rfft(strain) (clipped to valid)
     dst_idx: np.ndarray                # (row, position-in-common-spectrum) flat index
     weight: np.ndarray                 # bisquare window value * scale compensation
-    # legacy common-length dense gather tables (tests/reference formulation;
-    # the production path uses the per-length buckets below):
-    gather_idx: np.ndarray             # (total_rows, n_common) int32 into rfft bins
-    gather_weight: np.ndarray          # (total_rows, n_common) float32
     row_freqs: Tuple[np.ndarray, ...]  # frequencies per plane
-    time_interp: Tuple[np.ndarray, ...]   # per plane (n_common, t_bins) sparse-as-dense
     freq_interp: Tuple[np.ndarray, ...]   # per plane (f_bins, n_rows)
     shape: Tuple[int, int]
     # native per-row-length formulation (the production fast path):
     buckets: Tuple[QBucket, ...] = ()
     row_inv: np.ndarray = None         # bucket-concat position of each plane-major row
+
+    def dense_gather(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Legacy common-length dense gather tables — the reference
+        formulation the equivalence tests check against. Built on demand:
+        the (total_rows, n_common) allocations are megabytes at inference
+        geometry and the production qscan path reads only ``buckets``/
+        ``row_inv``, so plan construction no longer materializes them."""
+        total_rows = sum(self.n_rows)
+        gi = np.zeros(total_rows * self.n_common, np.int32)
+        gw = np.zeros(total_rows * self.n_common, np.float32)
+        gi[self.dst_idx] = self.src_idx
+        gw[self.dst_idx] = self.weight.astype(np.float32)
+        return (gi.reshape(total_rows, self.n_common),
+                gw.reshape(total_rows, self.n_common))
 
 
 def _bilinear_taps(n_in: int, n_out: int):
@@ -233,20 +242,12 @@ def make_qplan(
     row_inv = np.argsort(np.asarray(order, np.int64)).astype(np.int32)
 
     t_bins, f_bins = spectrogram_shape[1], spectrogram_shape[0]
-    time_interp = tuple(
-        _bilinear_matrix(n_common, t_bins).T.astype(np.float32) for _ in qs
-    )
     freq_interp = tuple(
         _bilinear_matrix(len(f), f_bins).astype(np.float32) for f in all_freqs
     )
     src_flat = np.concatenate(src).astype(np.int32)
     dst_flat = np.concatenate(dst).astype(np.int64)
     wgt_flat = np.concatenate(wgt)
-    total_rows = sum(n_rows)
-    gather_idx = np.zeros(total_rows * n_common, np.int32)
-    gather_weight = np.zeros(total_rows * n_common, np.float32)
-    gather_idx[dst_flat] = src_flat
-    gather_weight[dst_flat] = wgt_flat.astype(np.float32)
     return QPlan(
         duration=duration,
         sample_rate=sample_rate,
@@ -254,12 +255,9 @@ def make_qplan(
         n_common=n_common,
         n_rows=tuple(n_rows),
         src_idx=src_flat,
-        dst_idx=dst_flat.astype(np.int32),
+        dst_idx=dst_flat,
         weight=wgt_flat,
-        gather_idx=gather_idx.reshape(total_rows, n_common),
-        gather_weight=gather_weight.reshape(total_rows, n_common),
         row_freqs=tuple(all_freqs),
-        time_interp=time_interp,
         freq_interp=freq_interp,
         shape=(f_bins, t_bins),
         buckets=tuple(buckets),

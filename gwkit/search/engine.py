@@ -42,6 +42,10 @@ def _cached_score_fn(task, tid, frid, trainable, frozen):
     key = (id(task), tid, frid)
     hit = _SCORE_FN_CACHE.get(key)
     if hit is not None:
+        # LRU, not FIFO: move-to-end so a resident server alternating one
+        # hot weight set against many transients never evicts the hot entry
+        # (dict preserves insertion order; eviction pops the oldest key)
+        _SCORE_FN_CACHE[key] = _SCORE_FN_CACHE.pop(key)
         return hit[3]
 
     @jax.jit

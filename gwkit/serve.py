@@ -63,30 +63,41 @@ class ScoringServer:
         self.n_served = 0
 
     # -- scoring ----------------------------------------------------------
-    def warmup(self, seconds: float = 64.0, sample_rate: int = 2048) -> float:
+    def warmup(self, seconds: float = 272.0, sample_rate: int = 2048) -> float:
         """Compile the scoring program on synthetic strain; returns wall s.
 
-        Real searches whiten per segment length, so a warm server still pays
-        one (cached-geometry) compile per new segment length — the warmup
-        covers the dominant scoring-graph compile.
+        Routes through ``get_triggers`` on a throwaway blocked-length file —
+        the EXACT code path (and jit executable cache entries) real requests
+        hit: the engine's per-weights ``_cached_score_fn`` plus, for
+        segments longer than the 256 s whitening block, the fused
+        whiten+gather+scan program of ``DeviceSlicer.fused_scores``. (A
+        separate throwaway jitted closure would compile a different
+        function identity and leave the first real request cold.) Real
+        searches still pay one cached-geometry compile per NEW tail-block
+        shape; the default 272 s covers the dominant full-block compile.
         """
+        import tempfile
+
+        import h5py
         import numpy as np
 
-        from gwkit.search.engine import score_segments
-        from gwkit.search.slicer import Segment, SlicerConfig
+        from gwkit.search.engine import get_triggers
 
         t0 = time.time()
         rng = np.random.default_rng(0)
-        strain = (rng.normal(size=(2, int(seconds * sample_rate))) * 1e-21).astype(
-            np.float32
-        )
-        seg = Segment(key="warmup", strain=strain, start_time=0.0, delta_t=1.0 / sample_rate)
-        score_fn = _task_score_fn(self.task)
-        score_segments(
-            score_fn, [seg],
-            SlicerConfig(batch_size=int(self.defaults.get("batch_size", 256))),
-            trigger_threshold=float(self.defaults.get("trigger_threshold", -0.5)),
-        )
+        opts = {k: v for k, v in self.defaults.items()
+                if k in ("step_size", "trigger_threshold", "white",
+                         "batch_size", "stream")}
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "warmup.hdf")
+            with h5py.File(path, "w") as f:
+                for det in ("H1", "L1"):
+                    strain = (rng.normal(size=int(seconds * sample_rate)) * 1e-21)
+                    ds = f.create_group(det).create_dataset(
+                        "0", data=strain.astype(np.float64))
+                    ds.attrs["start_time"] = 0.0
+                    ds.attrs["delta_t"] = 1.0 / sample_rate
+            get_triggers(self.task, path, **opts)
         return time.time() - t0
 
     def handle_request(self, req: dict) -> dict:
@@ -198,6 +209,7 @@ def watch_directory(
     n_scored = 0
     while stop_after is None or n_scored < stop_after:
         ready = []
+        seen = set()
         for name in sorted(os.listdir(watch_dir)):
             if not name.endswith(suffix) or name.endswith("_events" + suffix):
                 continue
@@ -205,13 +217,21 @@ def watch_directory(
             out = os.path.join(out_dir, name[: -len(suffix)] + "_events" + suffix)
             if os.path.exists(out) or os.path.exists(out + ".failed"):
                 continue
-            size = os.path.getsize(path)
+            try:
+                size = os.path.getsize(path)
+            except OSError:  # deleted/renamed between listdir and stat —
+                continue     # the non-atomic-writer race this loop exists for
+            seen.add(path)
             prev = sizes.get(path)
             if prev is None or prev[0] != size:  # first sight / still growing
                 sizes[path] = (size, time.time())
                 continue
             if time.time() - prev[1] >= settle_seconds:
                 ready.append((path, out))
+        # drop state for files that disappeared or were scored, so a
+        # long-running watcher's memory stays bounded by the dir contents
+        for stale in set(sizes) - seen:
+            del sizes[stale]
         for path, out in ready:
             resp = server.handle_request({"input": path, "output": out})
             if resp.get("ok"):
@@ -228,17 +248,6 @@ def watch_directory(
         if not ready:
             time.sleep(poll_seconds)
     return n_scored
-
-
-def _task_score_fn(task):
-    import jax
-
-    @jax.jit
-    def score_fn(windows):
-        out = task.forward(task.trainable, task.frozen, windows)
-        return out[:, 0]
-
-    return score_fn
 
 
 def _recv_line(conn: socket.socket) -> bytes:

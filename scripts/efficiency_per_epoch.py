@@ -15,6 +15,7 @@ the same test corpus; each epoch sweep is one jitted scorer over the cached
 device-resident corpus, so extra epochs cost ~a minute each, not a rerun.
 """
 import argparse
+import functools
 import glob
 import logging
 import os
@@ -89,13 +90,17 @@ def main(argv=None):
     eff_dir = os.path.join(args.outdir, "efficiencies")
     os.makedirs(eff_dir, exist_ok=True)
 
+    # jit ONCE with the weights as a traced argument: a fresh @jax.jit
+    # closure per epoch (with params captured as trace-time constants) would
+    # recompile the identical graph for every checkpoint in the sweep
+    @jax.jit
+    def _score(params, x):
+        return task.forward(params, task.frozen, x).reshape(-1)
+
     per_epoch = {}
     for epoch in epochs:
         params, _ = load_pytree(ckpts[epoch], task.trainable)
-
-        @jax.jit
-        def score_fn(x, params=params):
-            return task.forward(params, task.frozen, x).reshape(-1)
+        score_fn = functools.partial(_score, params)
 
         est = EfficiencyEstimator(wave_ds, noise_ds, snrs,
                                   batch_size=args.eval_batch, faps=faps)

@@ -111,7 +111,10 @@ def main():
         for name, task in (("fp", task_fp), ("int8", task_q)):
             t0 = time.time()
             trig, _, _ = get_triggers(task, src, trigger_threshold=-0.5, verbose=False)
-            res[name] = (trig, time.time() - t0)
+            # get_triggers returns {segment_key: [[time, score], ...]};
+            # flatten to one (n, 2) trigger table across segments
+            flat = [t for seg_trigs in trig.values() for t in seg_trigs]
+            res[name] = (np.asarray(flat, np.float64).reshape(-1, 2), time.time() - t0)
         t_fp, t_q = res["fp"][0], res["int8"][0]
         times_fp = {round(float(t), 1) for t in t_fp[:, 0]} if len(t_fp) else set()
         times_q = {round(float(t), 1) for t in t_q[:, 0]} if len(t_q) else set()

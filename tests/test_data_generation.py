@@ -131,6 +131,52 @@ def test_glitch_synthesis(rng):
     assert np.abs(blip).max(axis=1).mean() > 1.3 * np.abs(noglitch).max(axis=1).mean()
 
 
+def test_glitch_preprocess_scale_behavior():
+    """The calibration contract behind realistic_glitch_dataset: with a KNOWN
+    psd the preprocessing is exactly linear in the strain; with the default
+    data-estimated whitening it is scale-INVARIANT (whitening normalizes by
+    the input's own spectrum) — which is why the noiseless calibration pass
+    must use the known-PSD path."""
+    from gwkit.data.glitch import preprocess_glitch_strain
+    from gwkit.ops.psd import get_psd
+
+    sr, span = 1024.0, 8.0
+    n = int(sr * span)
+    r = np.random.default_rng(0)
+    x = r.normal(size=(2, n)).astype(np.float32)
+    psd = np.asarray(get_psd("aLIGOZeroDetHighPower", n // 2 + 1, 1.0 / span, 15.0))
+    psd = psd / psd[psd > 0].mean()
+
+    w1 = preprocess_glitch_strain(jnp.asarray(x), sr, crop_duration=None, psd=jnp.asarray(psd))
+    w2 = preprocess_glitch_strain(jnp.asarray(3.0 * x), sr, crop_duration=None, psd=jnp.asarray(psd))
+    np.testing.assert_allclose(w2, 3.0 * w1, rtol=2e-4, atol=2e-4 * np.abs(w1).max())
+
+    s1 = preprocess_glitch_strain(jnp.asarray(x), sr, crop_duration=None)
+    s2 = preprocess_glitch_strain(jnp.asarray(3.0 * x), sr, crop_duration=None)
+    np.testing.assert_allclose(s2, s1, rtol=2e-3, atol=2e-3 * np.abs(s1).max())
+
+
+def test_realistic_glitch_snr_calibration():
+    """Achieved post-pipeline SNR (measured through the reference-faithful
+    data-estimated whitening) tracks the per-class target — the
+    scale-invariant self-whitening calibration this replaced spread the
+    ratio by the U(3,10) morphology amplitude draw (~3x)."""
+    from gwkit.data.glitch import GLITCH_CLASSES, realistic_glitch_dataset
+
+    x, y, (ach, tgt) = realistic_glitch_dataset(
+        6, seed=1, sample_rate=1024.0, return_achieved=True)
+    assert x.shape == (66, 1024)
+    glitchy = tgt > 0
+    ratio = ach[glitchy] / tgt[glitchy]
+    med = float(np.median(ratio))
+    spread = float(np.quantile(ratio, 0.9) / np.quantile(ratio, 0.1))
+    assert 0.5 < med < 2.0, med
+    assert spread < 2.0, spread
+    # No Glitch carries no injection
+    ng = y == GLITCH_CLASSES.index("No Glitch")
+    assert np.all(tgt[(ng)] == 0.0)
+
+
 def test_generate_training_set_small(tmp_path):
     from gwkit.data.generate import generate_training_set
     from gwkit.data.datasets import InjectionDataset

@@ -96,7 +96,8 @@ def test_qscan_time_decimation_exact(rng):
     import jax.numpy as jnp2
 
     fseries = jnp2.fft.rfft(x, axis=-1)
-    spec = fseries[:, plan.gather_idx] * jnp2.asarray(plan.gather_weight)
+    gather_idx, gather_weight = plan.dense_gather()
+    spec = fseries[:, gather_idx] * jnp2.asarray(gather_weight)
     full = jnp2.fft.ifft(spec, axis=-1)
     e_full = np.asarray(full.real ** 2 + full.imag ** 2)
     d = 4

@@ -88,6 +88,26 @@ def test_handle_request_guards(tiny_task, strain_file, tmp_path):
     assert forced["ok"]
 
 
+def test_warmup_precompiles_request_path(tiny_task, strain_file, tmp_path):
+    """warmup() must prime the SAME jitted function real requests use —
+    the engine's per-weights score_fn cache — not a throwaway closure
+    (which would leave the first request cold, the round-3 review bug)."""
+    from gwkit.search import engine
+
+    server = ScoringServer(tiny_task, str(tmp_path / "unused.sock"),
+                           trigger_threshold=-1e9, batch_size=32)
+    engine._SCORE_FN_CACHE.clear()
+    wall = server.warmup(seconds=4.0)
+    assert wall > 0
+    key = next(k for k in engine._SCORE_FN_CACHE if k[0] == id(tiny_task))
+    warm_fn = engine._SCORE_FN_CACHE[key][3]
+
+    out = str(tmp_path / "warm_events.hdf")
+    resp = server.handle_request({"input": strain_file, "output": out})
+    assert resp["ok"], resp
+    assert engine._SCORE_FN_CACHE[key][3] is warm_fn  # reused, not rebuilt
+
+
 def test_rejects_unknown_default():
     with pytest.raises(ValueError):
         ScoringServer(object(), "/tmp/x.sock", nonsense=1)
