@@ -71,22 +71,12 @@ def sylm(l: int, m: int, theta) -> jnp.ndarray:
     gwkit.data.imrphenomp._sYlm_m2_row and the sum rule
     sum_m |sYlm|^2 = (2l+1)/(4 pi).
     """
-    fact = math.factorial
-    # d^l_{m,2}(b) = sqrt[(l+m)!(l-m)!(l+2)!(l-2)!]
-    #   * sum_k (-1)^(m-2+k) / [(l+2-k)! k! (m-2+k)! (l-m-k)!]
-    #       * cos(b/2)^(2l+2-m-2k) sin(b/2)^(m-2+2k),
-    # k over max(0, 2-m)..min(l+2, l-m)  (standard Jacobi sum with
-    # m' = m, m = 2). Verified by hand against the closed-form l = 2 row
-    # for every m and numerically in tests.
-    norm = math.sqrt(fact(l + m) * fact(l - m) * fact(l + 2) * fact(l - 2))
+    # sYlm(theta, 0) for s = -2 is the generic Jacobi sum with m' = m,
+    # m = 2 — exactly wigner_d below — scaled by sqrt((2l+1)/4 pi); one
+    # implementation of the sum, not two kept in sync by hand.
     half = theta / 2.0
-    c, sn = jnp.cos(half), jnp.sin(half)
-    out = jnp.zeros_like(c)
-    for k in range(max(0, 2 - m), min(l + 2, l - m) + 1):
-        denom = fact(l + 2 - k) * fact(k) * fact(m - 2 + k) * fact(l - m - k)
-        coef = ((-1.0) ** (m - 2 + k)) * norm / denom
-        out = out + coef * c ** (2 * l + 2 - m - 2 * k) * sn ** (m - 2 + 2 * k)
-    return math.sqrt((2 * l + 1) / (4.0 * math.pi)) * out
+    d = wigner_d(l, m, 2, jnp.cos(half), jnp.sin(half))
+    return math.sqrt((2 * l + 1) / (4.0 * math.pi)) * d
 
 
 def pn_mode_ratio(l: int, m: int, v, eta, delta, pn_amplitude: bool = True):
@@ -248,12 +238,16 @@ def phenomhm_modes(
     erad = imrphenomd.radiated_energy(eta, chi1, chi2)
     v_peak = (jnp.pi * imrphenomd._amp_peak_freq(coeffs)) ** (1.0 / 3.0)
     dphi22 = jax.grad(lambda x: imrphenomd.phenomd_phase(x, coeffs))
+    mf = mtot_s * jnp.maximum(freqs, 1e-3)  # output-grid geometric frequency
+    # loop-invariant phase-derivative anchors for the C1 stitching below
+    # (identical for every mode; hoisted so jax.grad traces once, not 5x)
+    dp_f1 = dphi22(jnp.asarray(imrphenomd.PHI_F_JOIN_INS, mf.dtype))
+    dp_rd = dphi22(coeffs.f_rd)
 
     out = {}
     for (l, m) in modes:
         scale = 2.0 / m
         half_m = m / 2.0
-        mf = mtot_s * jnp.maximum(freqs, 1e-3)  # lm-mode geometric frequency
         if ringdown_map:
             f_rdlm = qnm_frequency_lm(l, m, af, erad)
             f_map, fb1, a_int, kappa = _mode_freq_map(mf, l, m, coeffs, f_rdlm)
@@ -261,8 +255,6 @@ def phenomhm_modes(
             # (phase shift) so value AND derivative are continuous at both
             # boundaries. Region-1 derivative is phi22'(F) * (2/m) * (m/2)
             # = phi22' — the shared-orbit inspiral needs no correction.
-            dp_f1 = dphi22(jnp.asarray(imrphenomd.PHI_F_JOIN_INS, mf.dtype))
-            dp_rd = dphi22(coeffs.f_rd)
             tau2 = (1.0 - half_m * a_int) * dp_f1
             c2 = -tau2 * fb1
             tau3 = half_m * a_int * dp_rd + tau2 - half_m * kappa * dp_rd

@@ -41,9 +41,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MTSUN_SI = 4.925491025543576e-06
-MPC_SI = 3.0856775814913673e22
-C_SI = 299792458.0
+# Single-sourced from waveforms: a hand-copied 4.925491e-6 here once
+# diverged from the derived value by 2.1e-4 — exactly the phase-visible
+# mismatch higher_modes.py warns about — so the precessing twist mixed two
+# mass-in-seconds constants (carrier phase vs Euler angles).
+from gwkit.data.waveforms import MTSUN_SI  # re-exported: precession_ode imports it
 
 
 def chi_p(m1, m2, s1x, s1y, s2x, s2y):

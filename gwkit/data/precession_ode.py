@@ -22,9 +22,18 @@ quadrupole radiation reaction dv/dt = (32/5) eta v^9 carrying the system
 through frequency. This keeps spin-orbit AND spin-spin couplings of both
 spins, exactly conserves |S1|, |S2| (tested), and approximately conserves
 the total J direction (tested) — the physics the single-spin closed form
-truncates. Fixed-step RK4 over a uniform v-grid inside ``lax.scan`` keeps
-the whole solve jit/vmap-compatible with static shapes (TPU-friendly: no
-adaptive stepping, no data-dependent control flow).
+truncates. Fixed-step RK4 inside ``lax.scan`` keeps the whole solve
+jit/vmap-compatible with static shapes (TPU-friendly: no adaptive stepping,
+no data-dependent control flow). The integration variable is u = v^-3, NOT
+v: the precession rate per unit v scales as dalpha/dv ~ v^-4 (Omega_p dt/dv
+with Omega_p ~ v^5/M and dt/dv ~ M v^-10 / eta), so a uniform v-grid packs
+its resolution into the late inspiral where alpha barely moves and
+under-resolves the early band — at low total mass the per-step azimuth
+advance exceeded pi there, silently aliasing the arctan2 unwrap below.
+du = -3 v^-4 dv cancels that scaling: uniform u steps advance alpha by a
+roughly CONSTANT angle each, so the same n_steps buys resolution where the
+precession actually happens (verified by the convergence test against a
+16x-oversampled reference).
 
 Frame/gauge conventions match :func:`gwkit.data.imrphenomp.precession_angles`
 so the two models are drop-in interchangeable as ``angle_fn`` inputs to the
@@ -99,13 +108,19 @@ def _derivs(lhat, s1, s2, v, m1f, m2f, eta):
 def integrate_precession(
     m1, m2, s1_vec, s2_vec, f_ref: float, f_max: float, n_steps: int = 384
 ):
-    """Integrate Lhat/S1/S2 from f_ref to f_max on a uniform v-grid.
+    """Integrate Lhat/S1/S2 from f_ref to f_max on a grid uniform in v^-3.
 
     ``s1_vec``/``s2_vec`` are the DIMENSIONLESS spin vectors chi_i in the
     frame where Lhat(f_ref) = z. Returns ``(v_grid, lhat, s1, s2)`` with
     ``lhat`` of shape (n_steps + 1, 3) etc., expressed in that same frame
     (no J-rotation applied here). |S_i| is exactly conserved by the
     projected RK4 + renormalization scheme up to integration error.
+
+    The grid is uniform in u = v^-3 (see module docstring): dalpha/du is
+    ~constant across the band, so every RK4 step subtends a comparable
+    precession angle — a uniform-v grid under-resolved the early inspiral
+    (where almost all the precession cycles live) badly enough to alias
+    the downstream azimuth unwrap for low total masses.
     """
     m1 = jnp.asarray(m1, jnp.float32)
     m2 = jnp.asarray(m2, jnp.float32)
@@ -119,26 +134,34 @@ def integrate_precession(
     # f_max is static so this is a static grid
     v_hi = jnp.minimum((jnp.pi * mt_s * f_max) ** (1.0 / 3.0), 1.0)
     v_hi = jnp.maximum(v_hi, v_lo * (1.0 + 1e-6))
-    dv = (v_hi - v_lo) / n_steps
+    u_lo = v_lo ** -3.0
+    u_hi = v_hi ** -3.0
+    du = (u_hi - u_lo) / n_steps  # negative: u decreases as v grows
 
     s1_0 = jnp.asarray(s1_vec, jnp.float32) * m1f ** 2
     s2_0 = jnp.asarray(s2_vec, jnp.float32) * m2f ** 2
     l_0 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
 
+    def derivs_u(lhat, s1, s2, u):
+        v = jnp.maximum(u, 1.0) ** (-1.0 / 3.0)
+        dl, ds1, ds2 = _derivs(lhat, s1, s2, v, m1f, m2f, eta)
+        dvdu = -(v ** 4) / 3.0
+        return dl * dvdu, ds1 * dvdu, ds2 * dvdu
+
     def step(carry, i):
         lhat, s1, s2 = carry
-        v = v_lo + i * dv
+        u = u_lo + i * du
 
-        k1 = _derivs(lhat, s1, s2, v, m1f, m2f, eta)
-        k2 = _derivs(lhat + 0.5 * dv * k1[0], s1 + 0.5 * dv * k1[1],
-                     s2 + 0.5 * dv * k1[2], v + 0.5 * dv, m1f, m2f, eta)
-        k3 = _derivs(lhat + 0.5 * dv * k2[0], s1 + 0.5 * dv * k2[1],
-                     s2 + 0.5 * dv * k2[2], v + 0.5 * dv, m1f, m2f, eta)
-        k4 = _derivs(lhat + dv * k3[0], s1 + dv * k3[1],
-                     s2 + dv * k3[2], v + dv, m1f, m2f, eta)
+        k1 = derivs_u(lhat, s1, s2, u)
+        k2 = derivs_u(lhat + 0.5 * du * k1[0], s1 + 0.5 * du * k1[1],
+                      s2 + 0.5 * du * k1[2], u + 0.5 * du)
+        k3 = derivs_u(lhat + 0.5 * du * k2[0], s1 + 0.5 * du * k2[1],
+                      s2 + 0.5 * du * k2[2], u + 0.5 * du)
+        k4 = derivs_u(lhat + du * k3[0], s1 + du * k3[1],
+                      s2 + du * k3[2], u + du)
 
         def comb(a, b, c, d):
-            return (a + 2.0 * b + 2.0 * c + d) * (dv / 6.0)
+            return (a + 2.0 * b + 2.0 * c + d) * (du / 6.0)
 
         lhat_n = lhat + comb(k1[0], k2[0], k3[0], k4[0])
         lhat_n = lhat_n / jnp.linalg.norm(lhat_n)
@@ -160,7 +183,8 @@ def integrate_precession(
     lhat = jnp.concatenate([l_0[None], traj[0]], axis=0)
     s1 = jnp.concatenate([s1_0[None], traj[1]], axis=0)
     s2 = jnp.concatenate([s2_0[None], traj[2]], axis=0)
-    v_grid = v_lo + dv * jnp.arange(n_steps + 1, dtype=jnp.float32)
+    u_grid = u_lo + du * jnp.arange(n_steps + 1, dtype=jnp.float32)
+    v_grid = jnp.maximum(u_grid, 1.0) ** (-1.0 / 3.0)
     return v_grid, lhat, s1, s2
 
 
@@ -192,8 +216,11 @@ def precession_angles_numerical(
     lx, ly, lz = lhat_j[:, 0], lhat_j[:, 1], lhat_j[:, 2]
     cos_b = jnp.clip(lz, -1.0, 1.0)
     # branch-cut-free azimuth accumulation: the signed angle between
-    # consecutive planar projections of Lhat (|step| << pi on this grid);
-    # atan2(0, 0) = 0 on XLA, so the aligned limit freezes alpha exactly
+    # consecutive planar projections of Lhat (valid while |step| < pi —
+    # guaranteed by the uniform-u grid, which subtends a roughly constant,
+    # small alpha per step; the uniform-v grid this replaced violated it
+    # at low total mass). atan2(0, 0) = 0 on XLA, so the aligned limit
+    # freezes alpha exactly
     cross = lx[:-1] * ly[1:] - ly[:-1] * lx[1:]
     dot = lx[:-1] * lx[1:] + ly[:-1] * ly[1:]
     d_alpha = jnp.arctan2(cross, dot)

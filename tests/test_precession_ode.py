@@ -79,6 +79,25 @@ def test_alpha_rate_matches_leading_order_single_spin():
     assert 0.9 < ratio < 1.1, ratio
 
 
+def test_alpha_converged_at_default_resolution():
+    """The default 384-step solve must agree with a 16x-oversampled
+    reference to a few mrad across the band — INCLUDING the low-total-mass
+    corner (4+4, 5+3 Msun) where the old uniform-v grid under-resolved
+    early precession badly enough to alias the azimuth unwrap (errors of
+    1-2 RADIANS). The u = v^-3 grid subtends ~constant alpha per step."""
+    freqs = jnp.linspace(20.0, 1024.0, 1500)
+    for m1, m2 in ((5.0, 3.0), (4.0, 4.0), (7.0, 7.0)):
+        a = precession_angles_numerical(m1, m2, [0.6, 0.0, 0.3],
+                                        [0.0, 0.0, 0.0])(freqs)[0]
+        ref = precession_angles_numerical(m1, m2, [0.6, 0.0, 0.3],
+                                          [0.0, 0.0, 0.0],
+                                          n_steps=6144)(freqs)[0]
+        total = float(jnp.abs(ref[-1] - ref[0]))
+        err = float(jnp.max(jnp.abs(a - ref)))
+        assert total > 10.0  # dozens of precession radians in band
+        assert err < 0.02, (m1, m2, err)
+
+
 def test_two_spin_effect_exists():
     """In-plane spin on the SMALLER body changes the numerical angles even
     at fixed chi_p — the scalar-chi_p closed form cannot represent this."""
