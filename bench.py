@@ -59,7 +59,6 @@ def main():
     # 600 s segments exercise the blocked-whitening path (>2^19 samples)
     # that real month-scale searches use; throughput saturates near here.
     seconds = float(os.environ.get("BENCH_SECONDS", "600"))
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
     platform = jax.devices()[0].platform
     on_tpu = platform != "cpu"
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -72,6 +71,11 @@ def main():
     # same AUC (scripts/train_demo.py DEMO_TARGET=512 vs 3000). Set
     # BENCH_TARGET_FRAMES=3000 for the reference/Whisper-checkpoint geometry.
     target_frames = int(os.environ.get("BENCH_TARGET_FRAMES", "512"))
+    # Scoring batch: 256 windows at production geometry; at the strict
+    # (80,3000) geometry 128 is reproducibly ~2% faster (T=1500 VMEM/HBM
+    # pressure at B*D=512 — round-3 sweep, docs/PERF.md) and is the default
+    # there. Batch size is an engine free parameter, not reference semantics.
+    batch = int(os.environ.get("BENCH_BATCH", "128" if target_frames >= 1024 else "256"))
     enc = config_for(
         "tiny", compute_dtype=compute_dtype,
         use_flash_attention=on_tpu and os.environ.get("BENCH_FLASH", "1") == "1",
