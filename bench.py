@@ -71,11 +71,12 @@ def main():
     # same AUC (scripts/train_demo.py DEMO_TARGET=512 vs 3000). Set
     # BENCH_TARGET_FRAMES=3000 for the reference/Whisper-checkpoint geometry.
     target_frames = int(os.environ.get("BENCH_TARGET_FRAMES", "512"))
-    # Scoring batch: 256 windows at production geometry; at the strict
-    # (80,3000) geometry 128 is reproducibly ~2% faster (T=1500 VMEM/HBM
-    # pressure at B*D=512 — round-3 sweep, docs/PERF.md) and is the default
-    # there. Batch size is an engine free parameter, not reference semantics.
-    batch = int(os.environ.get("BENCH_BATCH", "128" if target_frames >= 1024 else "256"))
+    # Scoring batch: 128 windows is reproducibly the fastest at BOTH
+    # geometries (strict: 104.4 vs 102.2 at 256; production: 581-599 vs
+    # 534-571 — round-3 sweep, docs/PERF.md; larger batches lose to VMEM/HBM
+    # pressure at B*D detector-folded windows). Batch size is an engine free
+    # parameter, not reference semantics; BENCH_BATCH overrides.
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     enc = config_for(
         "tiny", compute_dtype=compute_dtype,
         use_flash_attention=on_tpu and os.environ.get("BENCH_FLASH", "1") == "1",
