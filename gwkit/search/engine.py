@@ -172,7 +172,12 @@ def get_triggers(
     white: bool = False,
     whitened_file: Optional[str] = None,
     low_frequency_cutoff: float = 20.0,
-    batch_size: int = 256,
+    # 128 is reproducibly the fastest scoring batch at both geometries on
+    # TPU v5e (real-file sweep 64/128/256/512/1024: the curve peaks at 128,
+    # larger batches lose to VMEM/HBM pressure — docs/PERF.md round 3). The
+    # reference's DataLoader batch 256 (inference.py:465) is a free
+    # parameter, not search semantics.
+    batch_size: int = 128,
     verbose: bool = False,
     stream: Optional[bool] = None,
     shard_dir: Optional[str] = None,

@@ -190,7 +190,7 @@ class SlicerConfig:
     low_frequency_cutoff: Optional[float] = 20.0
     segment_duration: float = 0.5
     max_filter_duration: float = 0.25
-    batch_size: int = 256
+    batch_size: int = 128  # fastest measured scoring batch (docs/PERF.md)
 
 
 class DeviceSlicer:
