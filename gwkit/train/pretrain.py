@@ -114,8 +114,17 @@ class ContrastivePretrainer:
             if "qadapter" in self.trainable:
                 save_pytree(os.path.join(outdir, "q_adapter_pretrained.npz"),
                             self.trainable["qadapter"])
-            save_pytree(
-                os.path.join(outdir, "encoder_pretrained.npz"),
-                {k: self.trainable[k] for k in ("adapters", "encoder")
-                 if k in self.trainable})
+            # Each surface in its own file with a BARE pytree: npz leaves are
+            # order-mapped onto the loader's template, so every consumer of
+            # encoder_pretrained.npz (--pretrained-encoder on the training
+            # CLIs, load_task_from_components, the e2e resume path) can load
+            # it with an encoder template alone — a combined
+            # {adapters, encoder} dict would require the loader to know the
+            # pretrain-time AdapterConfig to even reconstruct the template.
+            if "adapters" in self.trainable:
+                save_pytree(os.path.join(outdir, "adapters_pretrained.npz"),
+                            self.trainable["adapters"])
+            if "encoder" in self.trainable:
+                save_pytree(os.path.join(outdir, "encoder_pretrained.npz"),
+                            self.trainable["encoder"])
             logging.info("Saved pretraining weights.")

@@ -134,9 +134,7 @@ def main(argv=None):
                   batch_size=args.pretrain_batch, snr_range=(5.0, 15.0),
                   outdir=args.outdir, seed=args.seed, log_every=500)
         logging.info("pretrain %d steps in %.0fs", args.pretrain_steps, time.time() - t0)
-    enc_like = {"adapters": like_task.trainable["adapters"],
-                "encoder": like_task.frozen["encoder"]}
-    pretrained = load_pytree(enc_ckpt, enc_like)[0]["encoder"]
+    pretrained = load_pytree(enc_ckpt, like_task.frozen["encoder"])[0]
 
     # ---- stage 2: supervised DoRA training (reference pars.py settings)
     task = make_task(encoder_params=pretrained)

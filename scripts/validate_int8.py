@@ -129,6 +129,13 @@ def main():
             f"({inter}/{union} at 0.1 s resolution).",
         ]
 
+    lines += [
+        "",
+        "Throughput context: int8 gains only +0.4-0.7% end to end on this"
+        " pipeline (docs/PERF.md round-3 sweep — it is not"
+        " projection-matmul-bound), so the path stays opt-in"
+        " (--int8 / BENCH_INT8); this report is the accuracy gate.",
+    ]
     report = "\n".join(lines) + "\n"
     path = os.path.join(REPO, "docs", "results", "int8_parity.md")
     with open(path, "w") as f:

@@ -25,8 +25,49 @@ def test_contrastive_pretrainer_runs_and_reduces_loss(rng, tmp_path):
     pre = ContrastivePretrainer(task, proj_dim=16, lr=1e-3)
     pre.train(noises, waves, steps=3, batch_size=4, outdir=str(tmp_path), log_every=0)
     assert os.path.isfile(tmp_path / "q_adapter_pretrained.npz")
+    # adapter-only pretrain (train_full_encoder default False): the learned
+    # adapters go to their own file; no misleading "encoder" file is written
+    assert os.path.isfile(tmp_path / "adapters_pretrained.npz")
+    assert not os.path.isfile(tmp_path / "encoder_pretrained.npz")
     # weights were written back into the task
     assert task.trainable["qadapter"] is pre.trainable["qadapter"]
+
+
+def test_pretrained_encoder_save_loads_with_bare_template(rng, tmp_path):
+    """encoder_pretrained.npz must round-trip through every consumer's bare
+    encoder template (cli/common.load_encoder_params, inference's
+    _load_gwkit_encoder, the e2e resume path). Regression: the pretrainer
+    used to save a combined {adapters, encoder} dict that none of those
+    loaders could reconstruct a template for (order-mapped npz leaves)."""
+    from gwkit.models.adapters import AdapterConfig
+    from gwkit.models.qadapter import QAdapterConfig
+    from gwkit.models.whisper import WhisperConfig
+    from gwkit.train.checkpoints import load_pytree
+    from gwkit.train.pretrain import ContrastivePretrainer
+    from gwkit.train.tasks import build_mlgwsc
+
+    enc = WhisperConfig(d_model=32, n_heads=2, n_layers=1, d_ff=64, max_positions=64)
+    qcfg = QAdapterConfig(spectrogram_shape=(32, 32), target_shape=(80, 128), channels=(4, 8, 8))
+    task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc,
+                        acfg=AdapterConfig(r=2, alpha=4, targets="kv"), qcfg=qcfg)
+    noises = rng.normal(size=(16, 2, 2048)).astype(np.float32)
+    waves = (rng.normal(size=(8, 2, 2048)) * 0.5).astype(np.float32)
+    pre = ContrastivePretrainer(task, proj_dim=16, lr=1e-3, train_full_encoder=True)
+    pre.train(noises, waves, steps=2, batch_size=4, outdir=str(tmp_path), log_every=0)
+
+    # bare-template reload, as the training/serving CLIs do
+    from gwkit.models.whisper import init_encoder_params
+
+    template = init_encoder_params(jax.random.PRNGKey(1), enc)
+    loaded, _ = load_pytree(str(tmp_path / "encoder_pretrained.npz"), template)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        loaded, task.frozen["encoder"])
+    # the pretrained adapters are preserved alongside, in their own file
+    adapters, _ = load_pytree(str(tmp_path / "adapters_pretrained.npz"),
+                              task.trainable["adapters"])
+    assert jax.tree_util.tree_structure(adapters) == jax.tree_util.tree_structure(
+        task.trainable["adapters"])
 
 
 def test_plotting_artifacts(rng, tmp_path):
