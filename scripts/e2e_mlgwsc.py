@@ -15,7 +15,10 @@ E2E_OUT (artifact dir, default /tmp/e2e_mlgwsc), E2E_SNR_LO/E2E_SNR_HI
 (training injection band, default 7/20 — the efficiency run showed the
 encoder trains cleanly down to SNR 5, which is where challenge injections
 at Gpc distances live), E2E_PRETRAIN (InfoNCE steps on the same corpus
-before supervised training, default 0 = off).
+before supervised training, default 0 = off), E2E_DATASET (challenge
+dataset 1-4 for the search/eval stages, default 1),
+E2E_APPROXIMANT/E2E_SPIN_MAX/E2E_ISO_SPINS (training-corpus population —
+e.g. imrphenomxphm/0.99/1 to train matched to the ds3/4 populations).
 """
 import os
 import sys
@@ -55,12 +58,22 @@ def main():
     print(f"devices: {jax.devices()}; out: {out}")
 
     # ---- 1. training corpus ----
+    # E2E_APPROXIMANT/E2E_SPIN_MAX/E2E_ISO_SPINS select the training
+    # population (e.g. imrphenomxphm + isotropic spins to train matched to
+    # the ds3/4 challenge populations instead of the aligned ds1 default)
     corpus = os.path.join(out, "train.hdf")
     if not os.path.isfile(corpus):
+        from gwkit.data.waveforms import SourceDistribution
+
+        dist = SourceDistribution(
+            approximant=os.environ.get("E2E_APPROXIMANT", "imrphenomd"),
+            spin_max=float(os.environ.get("E2E_SPIN_MAX", "0")),
+            isotropic_spins=os.environ.get("E2E_ISO_SPINS", "0") == "1",
+        )
         t0 = time.time()
         generate_training_set(corpus, n_train=n_train, n_valid=n_train // 4, seed=3,
-                              wave_duration=16.0)
-        print(f"corpus in {time.time()-t0:.0f}s")
+                              wave_duration=16.0, distribution=dist)
+        print(f"corpus ({dist.approximant}) in {time.time()-t0:.0f}s")
     snr_lo = float(os.environ.get("E2E_SNR_LO", "7"))
     snr_hi = float(os.environ.get("E2E_SNR_HI", "20"))
     with h5py.File(corpus) as f:
