@@ -61,7 +61,11 @@ def main():
     seconds = float(os.environ.get("BENCH_SECONDS", "600"))
     platform = jax.devices()[0].platform
     on_tpu = platform != "cpu"
-    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    # BENCH_DTYPE=f32 measures the full-precision path (the BASELINE.md
+    # north-star wording; docs/results/bf16_parity.md pins the bf16<->f32
+    # accuracy equivalence on a trained checkpoint). Default bf16 on TPU.
+    dtype_name = os.environ.get("BENCH_DTYPE", "bf16" if on_tpu else "f32")
+    compute_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[dtype_name]
 
     from gwkit.models.qadapter import QAdapterConfig
 
@@ -111,13 +115,25 @@ def main():
     # warmup on the SAME segment geometry: whitening compiles per segment
     # length, so a different warmup length would leave the measured pass
     # paying a fresh XLA compile.
-    score_segments(score_fn, [seg], cfg, trigger_threshold=10.0)
+    warm = score_segments(score_fn, [seg], cfg, trigger_threshold=10.0)
+
+    # Production operating point (VERDICT r3 weak #2): the measured number
+    # must INCLUDE the host trigger-harvest epilogue at a realistic trigger
+    # rate. The e2e capstone's trained checkpoint harvests ~5% of windows at
+    # its threshold -0.5 (3669/72259 raw triggers, docs/results/
+    # e2e_mlgwsc_run.txt); this bench's task is random-init, so the
+    # equivalent operating point is the warmup pass's 95% score quantile.
+    # BENCH_THRESHOLD overrides (e.g. 1e9 for the old zero-trigger number).
+    if "BENCH_THRESHOLD" in os.environ:
+        threshold = float(os.environ["BENCH_THRESHOLD"])
+    else:
+        threshold = float(np.quantile(warm.all_vals, 0.95))
 
     # steady-state throughput = best of two measured passes (the remote-
     # attached chip shows ±5% pass-to-pass relay jitter; a single pass
     # under-reports as often as it over-reports)
     x_rt = max(
-        score_segments(score_fn, [seg], cfg, trigger_threshold=10.0).throughput_x_realtime
+        score_segments(score_fn, [seg], cfg, trigger_threshold=threshold).throughput_x_realtime
         for _ in range(2)
     )
     print(

@@ -28,6 +28,22 @@ def parse_args(argv=None):
                     help="Dataset 4: local noise file in the challenge layout "
                          "({det}/{start} datasets; see gwkit.data.generate."
                          "write_real_noise_file).")
+    ch.add_argument("--download-real-noise", action="store_true",
+                    help="Dataset 4: download the challenge real-noise file "
+                         "to --real-noise-file (default real_noise_file.hdf) "
+                         "with resumable byte-range requests, re-downloading "
+                         "if the result is unreadable (generate_data.py:49-91).")
+    ch.add_argument("--real-noise-url", type=str, default=None,
+                    help="override the real-noise download URL (default: the "
+                         "published AEI challenge server)")
+    ch.add_argument("--population", type=str, default=None,
+                    help="custom injection population: a pycbc_create_injections"
+                         "-style .ini (ds{N}.ini field names: [static_params] "
+                         "approximant/f_lower, [prior-mass1] min-mass1/..., "
+                         "[prior-chirp_distance], aligned spin1z/spin2z or "
+                         "isotropic spin1_a+solid-angle sections) or a .json of "
+                         "SourceDistribution fields. Overrides the dataset's "
+                         "built-in population (generate_data.py:772-790).")
     ch.add_argument("-f", "--output-foreground-file", type=str, required=True)
     ch.add_argument("-b", "--output-background-file", type=str, required=True)
     ch.add_argument("-i", "--output-injection-file", type=str, required=True)
@@ -59,6 +75,10 @@ def parse_args(argv=None):
                          "leading-order chi_p twist)")
     tr.add_argument("--spin-max", type=float, default=0.0,
                     help="max spin magnitude (0 = non-spinning)")
+    tr.add_argument("--population", type=str, default=None,
+                    help="custom source population (.ini/.json; see the "
+                         "challenge subcommand) — overrides --approximant/"
+                         "--spin-max")
 
     gl = sub.add_parser("glitch", help="Gravity Spy-style glitch corpus (synthetic, or fetched from open data).")
     gl.add_argument("-o", "--output", type=str, required=True)
@@ -92,16 +112,28 @@ def main(argv=None):
         psd_names = None
         if args.psd_file:
             psd_names = dict(spec.split("=", 1) for spec in args.psd_file)
+        if args.dataset == 4 and args.download_real_noise:
+            from gwkit.data.fetch import REAL_NOISE_URL, download_real_noise
+
+            args.real_noise_file = download_real_noise(
+                args.real_noise_file or "real_noise_file.hdf",
+                url=args.real_noise_url or REAL_NOISE_URL)
         if args.dataset == 4 and not args.real_noise_file:
-            raise SystemExit("dataset 4 needs --real-noise-file")
+            raise SystemExit(
+                "dataset 4 needs --real-noise-file (or --download-real-noise)")
         distribution = None
+        if args.population:
+            from gwkit.data.population import load_population
+
+            distribution = load_population(args.population)
         if args.approximant:
             import dataclasses
 
             from gwkit.data.generate import challenge_distribution
 
             distribution = dataclasses.replace(
-                challenge_distribution(args.dataset), approximant=args.approximant)
+                distribution or challenge_distribution(args.dataset),
+                approximant=args.approximant)
         generate_challenge_data(
             args.output_foreground_file, args.output_background_file, args.output_injection_file,
             duration=args.duration, sample_rate=args.sample_rate, seed=args.seed,
@@ -115,11 +147,16 @@ def main(argv=None):
         from gwkit.data.waveforms import SourceDistribution
 
         check_file_existence(args.output, args.force)
-        precessing = args.approximant.split("-")[0] in (
-            "imrphenomp", "imrphenomxphm")
-        dist = SourceDistribution(
-            spin_max=args.spin_max or (0.99 if precessing else 0.0),
-            isotropic_spins=precessing, approximant=args.approximant)
+        if args.population:
+            from gwkit.data.population import load_population
+
+            dist = load_population(args.population)
+        else:
+            precessing = args.approximant.split("-")[0] in (
+                "imrphenomp", "imrphenomxphm")
+            dist = SourceDistribution(
+                spin_max=args.spin_max or (0.99 if precessing else 0.0),
+                isotropic_spins=precessing, approximant=args.approximant)
         generate_training_set(
             args.output, n_train=args.n_train, n_valid=args.n_valid,
             window_duration=args.window_duration, sample_rate=args.sample_rate, seed=args.seed,

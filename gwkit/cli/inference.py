@@ -90,6 +90,7 @@ def load_task_from_components(
     pretrained_encoder=None,
     target_shape=(80, 3000),
     quant_int8: bool = False,
+    compute_dtype=None,
 ):
     """build_model parity (inference.py:415-430): assemble the mlgwsc task
     from exported component checkpoints.
@@ -99,7 +100,9 @@ def load_task_from_components(
     InfoNCE-pretrained encoder cannot be served). ``target_shape`` selects
     the Q-adapter geometry ((80, 512) is the production serving geometry;
     (80, 3000) the reference parity default). On TPU the encoder is built
-    with the same bf16/fused-kernel tuning the training CLIs use."""
+    with the same bf16/fused-kernel tuning the training CLIs use;
+    ``compute_dtype`` overrides (e.g. jnp.float32 for the bf16<->f32 parity
+    gate, scripts/validate_bf16.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -111,8 +114,10 @@ def load_task_from_components(
 
     n_frames = int(target_shape[1])
     on_tpu = jax.devices()[0].platform != "cpu"
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     enc_cfg = config_for(
-        encoder, compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        encoder, compute_dtype=compute_dtype,
         use_flash_attention=on_tpu, fused_block=on_tpu, gelu_approx=on_tpu,
         max_positions=n_frames // 2,
         # int8 projections need the fused block (TPU); a no-op elsewhere

@@ -152,6 +152,118 @@ def build_gravityspy_corpus(
     return len(strains)
 
 
+#: the MLGWSC-1 challenge's published real-noise file (dataset 4)
+REAL_NOISE_URL = (
+    "https://www.atlas.aei.uni-hannover.de/work/marlin.schaefer/MDC/real_noise_file.hdf"
+)
+
+
+def download_file(
+    url: str,
+    path: str,
+    resume: bool = True,
+    chunk_size: int = 1 << 16,
+    max_stalls: int = 3,
+    timeout: float = 60.0,
+) -> int:
+    """Resumable byte-range HTTP download of ``url`` to ``path``; returns the
+    final size in bytes.
+
+    Reference parity: MLGWSC-1/generate_data.py:49-91 (``download_data``)
+    appends from the local size with a ``Range`` header. This version also
+    *verifies* the server honored the range (HTTP 206) — a 200 reply to a
+    ranged request restarts from scratch instead of silently corrupting the
+    file by appending a second full copy — and survives mid-transfer
+    connection drops by re-issuing ranged requests until the Content-Range
+    total is reached (``max_stalls`` consecutive zero-progress attempts
+    abort).
+    """
+    import http.client
+    import urllib.error
+    import urllib.request
+
+    if not resume and os.path.isfile(path):
+        os.remove(path)
+    stalls = 0
+    while True:
+        resume_size = os.path.getsize(path) if os.path.isfile(path) else 0
+        req = urllib.request.Request(url)
+        if resume_size:
+            req.add_header("Range", f"bytes={resume_size}-")
+        try:
+            resp = urllib.request.urlopen(req, timeout=timeout)
+        except urllib.error.HTTPError as e:
+            if e.code == 416 and resume_size:
+                return resume_size  # range starts at EOF: already complete
+            raise
+        status = getattr(resp, "status", None) or resp.getcode()
+        mode = "ab" if resume_size and status == 206 else "wb"
+        if mode == "wb":
+            resume_size = 0  # server ignored the range (or fresh download)
+        total = None
+        content_range = resp.headers.get("Content-Range", "")
+        if "/" in content_range and content_range.rsplit("/", 1)[1].isdigit():
+            total = int(content_range.rsplit("/", 1)[1])
+        elif resp.headers.get("Content-Length") is not None:
+            total = resume_size + int(resp.headers["Content-Length"])
+        wrote = 0
+        try:
+            with open(path, mode) as fp:
+                while True:
+                    chunk = resp.read(chunk_size)
+                    if not chunk:
+                        break
+                    fp.write(chunk)
+                    wrote += len(chunk)
+        except (http.client.HTTPException, OSError) as e:
+            logging.warning("download interrupted after %d bytes: %s", wrote, e)
+        finally:
+            resp.close()
+        size = os.path.getsize(path)
+        if total is None or size >= total:
+            return size
+        stalls = 0 if wrote else stalls + 1
+        if stalls >= max_stalls:
+            raise IOError(
+                f"download of {url} stalled at {size}/{total} bytes "
+                f"after {max_stalls} zero-progress attempts")
+        logging.info("resuming download of %s at byte %d/%d", url, size, total)
+
+
+def download_real_noise(
+    path: str = "real_noise_file.hdf",
+    url: str = REAL_NOISE_URL,
+    force: bool = False,
+) -> str:
+    """Fetch the dataset-4 real-noise file, resuming interrupted transfers
+    and re-downloading from scratch if the result is not a readable HDF5
+    (reference: MLGWSC-1/generate_data.py:276-281). Returns ``path``, ready
+    for ``generate_challenge_data(dataset=4, real_noise_path=path)``."""
+    import h5py
+
+    def _readable() -> bool:
+        try:
+            with h5py.File(path, "r") as f:
+                f.attrs.keys()
+            return True
+        except Exception:
+            return False
+
+    if os.path.isfile(path) and not force:
+        if _readable():
+            return path
+        # probably an interrupted download: finish it, then re-check
+        download_file(url, path, resume=True)
+        if _readable():
+            return path
+        logging.warning("%s is not a readable HDF5; re-downloading", path)
+        os.remove(path)
+    download_file(url, path, resume=False)
+    if not _readable():
+        raise IOError(f"downloaded file at {path} is not a readable HDF5")
+    return path
+
+
 def fetch_event_file(
     events: Dict[str, float],
     output_path: str,

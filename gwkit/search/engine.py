@@ -33,13 +33,35 @@ from gwkit.search.slicer import DeviceSlicer, Segment, SlicerConfig, read_segmen
 # cache on the score_fn's identity (it is a static argument), so every
 # repeat search of the same file recompiled the whole scan graph — ~40 s on
 # a remote-compile relay, measured as the round-3 real-file "warm" collapse
-# (217x -> 101x). Entries hold strong references, so the id()-keyed lookup
-# cannot collide with recycled ids while an entry is alive.
+# (217x -> 101x). Keys are CONTENT fingerprints of the weight pytrees
+# (VERDICT r3 #7): jax.Array leaves are immutable from Python, so identity
+# suffices while the entry holds a strong reference (recycled ids are then
+# impossible); mutable host leaves (numpy arrays) are digested by content so
+# in-place mutation of a previously-scored pytree is a cache MISS, never a
+# silent stale-weights hit.
 _SCORE_FN_CACHE: "dict[tuple, tuple]" = {}
 
 
-def _cached_score_fn(task, tid, frid, trainable, frozen):
-    key = (id(task), tid, frid)
+def _weights_fingerprint(tree) -> tuple:
+    """Hashable fingerprint of a weight pytree: treedef + per-leaf identity
+    (immutable jax arrays) or content digest (mutable numpy leaves)."""
+    import hashlib
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    parts = [hash(treedef)]
+    for leaf in leaves:
+        if isinstance(leaf, jax.Array):
+            parts.append(("jax", id(leaf), leaf.shape, str(leaf.dtype)))
+        elif isinstance(leaf, np.ndarray):
+            h = hashlib.blake2b(np.ascontiguousarray(leaf).view(np.uint8), digest_size=16)
+            parts.append(("np", h.hexdigest(), leaf.shape, str(leaf.dtype)))
+        else:  # python scalars etc.
+            parts.append(("py", type(leaf).__name__, leaf))
+    return tuple(parts)
+
+
+def _cached_score_fn(task, trainable, frozen):
+    key = (id(task), _weights_fingerprint(trainable), _weights_fingerprint(frozen))
     hit = _SCORE_FN_CACHE.get(key)
     if hit is not None:
         # LRU, not FIFO: move-to-end so a resident server alternating one
@@ -47,6 +69,16 @@ def _cached_score_fn(task, tid, frid, trainable, frozen):
         # (dict preserves insertion order; eviction pops the oldest key)
         _SCORE_FN_CACHE[key] = _SCORE_FN_CACHE.pop(key)
         return hit[3]
+
+    # Snapshot mutable leaves so a later in-place mutation cannot alter what
+    # this entry's closure computes with (the key already guarantees a miss;
+    # the copy guarantees the OLD entry stays self-consistent too).
+    trainable = jax.tree_util.tree_map(
+        lambda x: x.copy() if isinstance(x, np.ndarray) else x, trainable
+    )
+    frozen = jax.tree_util.tree_map(
+        lambda x: x.copy() if isinstance(x, np.ndarray) else x, frozen
+    )
 
     @jax.jit
     def score_fn(windows):
@@ -198,16 +230,16 @@ def get_triggers(
     lists are gathered through ``shard_dir`` (a shared filesystem path);
     ``all_vals`` stays host-local (debug surface only).
 
-    The jitted scoring closure is cached per (task, trainable, frozen)
-    OBJECT identity, so repeat calls reuse compiled executables (a fresh
-    closure per call forced a full recompile of the fused scan graph —
-    the round-3 "warm" real-file regression). Pass a NEW pytree object to
-    score with different weights; in-place mutation of a previously used
-    pytree's leaves would hit the stale cache entry.
+    The jitted scoring closure is cached per (task, weights-fingerprint),
+    so repeat calls reuse compiled executables (a fresh closure per call
+    forced a full recompile of the fused scan graph — the round-3 "warm"
+    real-file regression). The fingerprint digests mutable (numpy) leaves by
+    content, so mutating a previously-scored pytree in place is a cache
+    miss — new weights always score with a fresh closure.
     """
     trainable = trainable if trainable is not None else task.trainable
     frozen = task.frozen
-    score_fn = _cached_score_fn(task, id(trainable), id(frozen), trainable, frozen)
+    score_fn = _cached_score_fn(task, trainable, frozen)
 
     if stream is None:
         from gwkit.search.slicer import native_streamable

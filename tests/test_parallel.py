@@ -223,3 +223,100 @@ def test_trainer_mesh_matches_single_device(rng):
         losses[name] = epoch_losses
 
     np.testing.assert_allclose(losses["dp4xtp2"], losses["single"], rtol=2e-3, atol=2e-4)
+
+
+def test_two_process_get_triggers_end_to_end(tmp_path):
+    """Full multi-host SEARCH smoke (VERDICT r3 #5): two real processes
+    under jax.distributed run engine.get_triggers over one shared HDF5
+    strain file — key-level segment sharding (n_proc > 1 branch,
+    gwkit/search/engine.py) + filesystem trigger gather — and the merged
+    trigger lists must equal the single-process search bit-for-bit on
+    times and to fp tolerance on scores."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import socket
+    import textwrap
+
+    import h5py
+
+    from gwkit.models.qadapter import QAdapterConfig
+    from gwkit.search.engine import get_triggers
+    from gwkit.train.tasks import build_mlgwsc
+
+    # shared strain file: 3 segments so the round-robin split is 2/1
+    fs = 2048
+    path = str(tmp_path / "strain.hdf")
+    rng = np.random.default_rng(3)
+    with h5py.File(path, "w") as f:
+        for det in ("H1", "L1"):
+            g = f.create_group(det)
+            for key, dur in (("100", 4), ("200", 6), ("300", 4)):
+                ds = g.create_dataset(
+                    key, data=rng.normal(size=fs * dur).astype(np.float32))
+                ds.attrs["start_time"] = float(key)
+                ds.attrs["delta_t"] = 1.0 / fs
+
+    build_src = textwrap.dedent("""
+        enc = WhisperConfig(d_model=64, n_heads=2, n_layers=2, d_ff=128,
+                            max_positions=256)
+        qcfg = QAdapterConfig(spectrogram_shape=(64, 64), target_shape=(80, 512))
+        task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc, qcfg=qcfg,
+                            usr=True)
+    """)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    child = tmp_path / "child.py"
+    child.write_text(textwrap.dedent(f"""
+        import json
+        import sys
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from gwkit.utils.platform import force_cpu
+        force_cpu()
+        import jax
+        from gwkit.models.qadapter import QAdapterConfig
+        from gwkit.models.whisper import WhisperConfig
+        from gwkit.parallel.distributed import initialize
+        from gwkit.search.engine import get_triggers
+        from gwkit.train.tasks import build_mlgwsc
+
+        pid = int(sys.argv[1])
+        initialize("localhost:{port}", 2, pid)
+        assert jax.process_count() == 2
+    """) + textwrap.indent(build_src, "") + textwrap.dedent(f"""
+        triggers, all_vals, _ = get_triggers(
+            task, {path!r}, trigger_threshold=-1e9, white=True,
+            batch_size=32, shard_dir={str(tmp_path / "shards")!r})
+        with open({str(tmp_path)!r} + f"/triggers_{{pid}}.json", "w") as f:
+            json.dump(triggers, f)
+    """))
+    procs = [
+        subprocess.Popen([sys.executable, str(child), str(p)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for p in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
+
+    # single-process reference search with the identical task
+    from gwkit.models.whisper import WhisperConfig  # noqa: F401 (used in exec)
+    ns = {"jax": jax, "WhisperConfig": WhisperConfig,
+          "QAdapterConfig": QAdapterConfig, "build_mlgwsc": build_mlgwsc}
+    exec(build_src, ns)
+    want, _, _ = get_triggers(ns["task"], path, trigger_threshold=-1e9,
+                              white=True, batch_size=32)
+
+    for pid in range(2):
+        with open(tmp_path / f"triggers_{pid}.json") as f:
+            merged = json.load(f)
+        # every host holds the COMPLETE merged trigger dict after the gather
+        assert sorted(merged) == sorted(want)
+        for key in want:
+            got = np.asarray(merged[key], np.float64).reshape(len(merged[key]), -1)
+            ref = np.asarray(want[key], np.float64).reshape(len(want[key]), -1)
+            assert got.shape == ref.shape, key
+            np.testing.assert_allclose(got[:, 0], ref[:, 0], rtol=0, atol=0)  # times
+            np.testing.assert_allclose(got[:, 1], ref[:, 1], rtol=1e-5, atol=1e-6)

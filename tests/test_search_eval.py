@@ -268,34 +268,53 @@ def test_fused_block_scores_match_batches(rng):
     np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-6)
 
 
+class _CacheProbeTask:
+    trainable = {"w": jnp.ones((2,))}
+    frozen = {}
+
+    @staticmethod
+    def forward(tr, fr, windows):
+        s = jnp.sum(windows, axis=(1, 2)) * tr["w"][0]
+        return jnp.stack([s, -s], axis=1)
+
+
 def test_score_fn_cache_reuses_jitted_closure():
     """Repeat get_triggers calls with the same (task, weights) must reuse
-    ONE jitted score_fn (cache keyed on object identity with strong refs) —
-    a fresh closure per call recompiles the fused scan graph every search
-    (the round-3 real-file 'warm' regression). New weight objects get a
-    fresh entry."""
+    ONE jitted score_fn (cache keyed on a weights fingerprint with strong
+    refs) — a fresh closure per call recompiles the fused scan graph every
+    search (the round-3 real-file 'warm' regression). New weight objects
+    get a fresh entry."""
     from gwkit.search import engine
 
-    class T:
-        trainable = {"w": jnp.ones((2,))}
-        frozen = {}
-
-        @staticmethod
-        def forward(tr, fr, windows):
-            s = jnp.sum(windows, axis=(1, 2)) * tr["w"][0]
-            return jnp.stack([s, -s], axis=1)
-
-    task = T()
+    task = _CacheProbeTask()
     engine._SCORE_FN_CACHE.clear()
-    f1 = engine._cached_score_fn(task, id(task.trainable), id(task.frozen),
-                                 task.trainable, task.frozen)
-    f2 = engine._cached_score_fn(task, id(task.trainable), id(task.frozen),
-                                 task.trainable, task.frozen)
+    f1 = engine._cached_score_fn(task, task.trainable, task.frozen)
+    f2 = engine._cached_score_fn(task, task.trainable, task.frozen)
     assert f1 is f2
     other = {"w": jnp.full((2,), 2.0)}
-    f3 = engine._cached_score_fn(task, id(other), id(task.frozen),
-                                 other, task.frozen)
+    f3 = engine._cached_score_fn(task, other, task.frozen)
     assert f3 is not f1
     w = jnp.ones((3, 2, 4))
     np.testing.assert_allclose(np.asarray(f1(w)), np.full(3, 8.0))
     np.testing.assert_allclose(np.asarray(f3(w)), np.full(3, 16.0))
+
+
+def test_score_fn_cache_misses_on_inplace_mutation():
+    """Mutating a previously-scored pytree's numpy leaves IN PLACE must be a
+    cache miss (VERDICT r3 #7): the fingerprint digests mutable leaf content,
+    so stale compiled weights can never silently score new values."""
+    from gwkit.search import engine
+
+    task = _CacheProbeTask()
+    weights = {"w": np.ones(2, np.float32)}  # host-mutable leaves
+    engine._SCORE_FN_CACHE.clear()
+    f1 = engine._cached_score_fn(task, weights, task.frozen)
+    w = jnp.ones((3, 2, 4))
+    np.testing.assert_allclose(np.asarray(f1(w)), np.full(3, 8.0))
+
+    weights["w"][0] = 2.0  # in-place mutation, same object identity
+    f2 = engine._cached_score_fn(task, weights, task.frozen)
+    assert f2 is not f1  # miss, not a stale hit
+    np.testing.assert_allclose(np.asarray(f2(w)), np.full(3, 16.0))
+    # and the OLD entry still computes with its original (snapshotted) values
+    np.testing.assert_allclose(np.asarray(f1(w)), np.full(3, 8.0))

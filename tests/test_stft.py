@@ -8,9 +8,17 @@ scipy's Hann window.
 import numpy as np
 import scipy.signal
 
+import jax
 import jax.numpy as jnp
 
 from gwkit.ops.stft import frame, hann_window, stft_power
+
+# Tolerances are calibrated for the CPU backend's f32 FFT; TPU XLA f32 FFTs
+# carry larger relative error (ADVICE r3), so loosen when the suite runs on
+# the accelerator the framework targets.
+_ON_CPU = jax.default_backend() == "cpu"
+_BIN_RTOL = 2e-4 if _ON_CPU else 1e-3
+_PARSEVAL_RTOL = 1e-5 if _ON_CPU else 1e-4
 
 
 def test_hann_window_matches_scipy():
@@ -54,7 +62,7 @@ def test_stft_power_matches_numpy_reference():
         for i in range(num_frames):
             seg = x[b, i * hop : i * hop + frame_length] * win
             ref = np.abs(np.fft.rfft(seg)) ** 2
-            np.testing.assert_allclose(got[b, i], ref, rtol=2e-4, atol=1e-4)
+            np.testing.assert_allclose(got[b, i], ref, rtol=_BIN_RTOL, atol=1e-4)
 
 
 def test_stft_power_parseval_energy():
@@ -69,4 +77,4 @@ def test_stft_power_parseval_energy():
         seg = x[0, i * hop : i * hop + frame_length] * win
         full = p[0, i, 0] + 2 * p[0, i, 1:-1].sum() + p[0, i, -1]
         # f32 on the jax side (x64 disabled) bounds the achievable tolerance
-        np.testing.assert_allclose(full, frame_length * (seg**2).sum(), rtol=1e-5)
+        np.testing.assert_allclose(full, frame_length * (seg**2).sum(), rtol=_PARSEVAL_RTOL)
