@@ -9,6 +9,8 @@ thresholds to produce FAR (per month) vs sensitive-volume curves.
 from __future__ import annotations
 
 import dataclasses
+import logging
+import os
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -118,3 +120,87 @@ def scores_to_series(
     if scores.ndim == 2 and scores.shape[1] == 2:
         scores = scores[:, 0] - scores[:, 1] if mode == "usr" else scores[:, 0]
     return scores.reshape(-1), np.asarray(window_times).reshape(-1)
+
+
+def start_time_from_filename(fn: str) -> float:
+    """Reference filename convention: the GPS start rides in the second
+    '-'-separated token, with files after the first shifted by one stride
+    (evaluate_test_data.py:20-25 ``get_start_time``)."""
+    start = int(fn.split("-")[1])
+    return float(start) if start == 0 else start + 0.1
+
+
+def convert_activation(data: np.ndarray, data_activation: str = "linear",
+                       ranking: str = "softmax") -> np.ndarray:
+    """(N, 2) network outputs -> 1D ranking series, with the reference's
+    activation matrix (evaluate_test_data.py:341-364): linear outputs rank
+    either by logit difference ('linear' ranking) or by softmax probability;
+    softmax outputs can only rank by their own p(signal) column."""
+    data = np.asarray(data)
+    if data_activation == "linear":
+        if ranking == "linear":
+            return data.T[0] - data.T[1]
+        if ranking == "softmax":
+            e0 = np.exp(data.T[0])
+            e1 = np.exp(data.T[1])
+            return e0 / (e0 + e1)
+        raise ValueError(f"unrecognized ranking {ranking!r}")
+    if data_activation == "softmax":
+        if ranking == "softmax":
+            return np.asarray(data.T[0])
+        raise ValueError(
+            "cannot use a linear ranking statistic on softmax-activated data")
+    raise ValueError(f"unrecognized data_activation {data_activation!r}")
+
+
+def load_score_files(
+    data_dir: str,
+    epoch_offset: float = 0.0,
+    delta_t: float = 0.1,
+    data_activation: str = "linear",
+    ranking: str = "softmax",
+) -> list:
+    """Read every per-file score HDF5 in ``data_dir`` ('data' dataset of
+    shape (N, 2); GPS start encoded in the filename) into
+    (values, start_time) pairs sorted by start time — the reference's
+    ``load_data`` (evaluate_test_data.py:323-372) without the pycbc
+    TimeSeries dependency. Unreadable files are skipped, like the
+    reference's bare ``except``."""
+    import h5py
+
+    if not os.path.isdir(data_dir):
+        raise ValueError(f"path {data_dir} for loading data not found")
+    out = []
+    for fn in sorted(os.listdir(data_dir)):
+        path = os.path.join(data_dir, fn)
+        if not os.path.isfile(path):
+            continue
+        try:
+            with h5py.File(path, "r") as f:
+                data = f["data"][()]
+            epoch = start_time_from_filename(fn) + epoch_offset
+        except Exception:
+            logging.debug("skipping unreadable score file %s", path)
+            continue
+        out.append((convert_activation(data, data_activation, ranking), epoch))
+    return sorted(out, key=lambda pair: pair[1])
+
+
+def assemble_score_series(
+    series_list: list, delta_t: float = 0.1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stitch per-file (values, start_time) pairs into ONE contiguous score
+    series + sample-time axis (evaluate_test_data.py:374-387
+    ``assemble_time_series``): gaps are zero-filled, later files overwrite
+    overlaps."""
+    if not series_list:
+        raise ValueError("no score files to assemble")
+    start = min(t for _, t in series_list)
+    end = max(t + len(v) * delta_t for v, t in series_list)
+    n = int(round((end - start) / delta_t)) + 1
+    values = np.zeros(n, dtype=np.float64)
+    for v, t in series_list:
+        i0 = int(round((t - start) / delta_t))
+        values[i0 : i0 + len(v)] = v
+    times = start + delta_t * np.arange(n)
+    return values, times

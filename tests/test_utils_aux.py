@@ -150,3 +150,98 @@ def test_key_seq_deterministic_and_distinct():
     seq3 = key_seq(jax.random.PRNGKey(7))
     k3 = next(seq3)
     assert jnp.array_equal(jax.random.key_data(k3), jax.random.key_data(keys[0]))
+
+
+def test_dictlist_full_surface():
+    """The remaining bnslib DictList surface (bnslib.py:1750-1937):
+    construction wrapping, contains/get/pop, join/__add__/__radd__, count."""
+    from gwkit.utils.progress import DictList
+
+    dl = DictList({"a": 1, "b": [2, 3]})  # non-list values wrap
+    assert dl["a"] == [1] and dl["b"] == [2, 3]
+    assert "a" in dl and "z" not in dl
+    assert dl.get("z", "d") == "d"
+    assert sorted(dl.keys()) == ["a", "b"]
+    assert list(dl.values()) and list(dl.items())
+
+    joined = dl + {"a": [10], "c": 7}
+    assert joined["a"] == [1, 10] and joined["c"] == [7]
+    assert dl["a"] == [1]  # + copies
+    radd = {"a": [0]} + dl
+    assert radd["a"] == [0, 1]
+    with pytest.raises(TypeError):
+        dl + 3
+    with pytest.raises(TypeError):
+        DictList([1, 2])
+
+    dl.append({"a": 5, "d": 6})
+    assert dl["a"] == [1, 5] and dl["d"] == [6]
+    dl.extend("d", value=[7, 8])
+    assert dl["d"] == [6, 7, 8]
+    assert dl.count(5) == 1
+    assert dl.count(6, keys="all") == {"a": 0, "b": 0, "d": 1}
+    assert dl.count(1, keys=["a", "zz"]) == {"a": 1, "zz": 0}
+    assert dl.pop("d") == [6, 7, 8]
+    assert dl.pop("zz", None) is None
+
+
+def _mp_counter_worker(args):
+    counter, n = args
+    for _ in range(n):
+        counter.increment()
+
+
+def test_mp_counter_across_processes():
+    """MPCounter (bnslib.py:1939-1977): real fork-inherited processes
+    incrementing one shared value, plus the int/Counter arithmetic."""
+    import multiprocessing as mp
+
+    from gwkit.utils.progress import MPCounter
+
+    c = MPCounter(5)
+    assert c.value == 5 and c == 5
+    c.increment(3)
+    assert c == 8
+    c += 2
+    assert (c + MPCounter(1)).value == 11 and (c + 4) == 14
+    with pytest.raises(TypeError):
+        c == "x"
+    with pytest.raises(TypeError):
+        MPCounter(1.5)
+
+    ctx = mp.get_context("fork")
+    shared = MPCounter(0)
+    procs = [ctx.Process(target=_mp_counter_worker, args=((shared, 50),))
+             for _ in range(3)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(60)
+    assert shared.value == 150
+
+
+def _mp_progress_worker(args):
+    tracker, n = args
+    for _ in range(n):
+        tracker.iterate()
+
+
+def test_mp_progress_tracker_across_processes():
+    import io
+    import multiprocessing as mp
+
+    from gwkit.utils.progress import MPProgressTracker
+
+    out = io.StringIO()
+    tracker = MPProgressTracker(100, name="mp", out=out)
+    ctx = mp.get_context("fork")
+    procs = [ctx.Process(target=_mp_progress_worker, args=((tracker, 50),))
+             for _ in range(2)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(60)
+    assert tracker.shared_count == 100
+    tracker.print_update()
+    text = out.getvalue()
+    assert "100.0%" in text and "done" in text
