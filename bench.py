@@ -81,8 +81,11 @@ def main():
     # pressure at B*D detector-folded windows). Batch size is an engine free
     # parameter, not reference semantics; BENCH_BATCH overrides.
     batch = int(os.environ.get("BENCH_BATCH", "128"))
+    # BENCH_ENCODER=base/small measures bigger backbones (the product's
+    # --encoder option); default tiny is the reference model.
+    encoder_size = os.environ.get("BENCH_ENCODER", "tiny")
     enc = config_for(
-        "tiny", compute_dtype=compute_dtype,
+        encoder_size, compute_dtype=compute_dtype,
         use_flash_attention=on_tpu and os.environ.get("BENCH_FLASH", "1") == "1",
         fused_block=on_tpu and os.environ.get("BENCH_FUSED_BLOCK", "1") == "1",
         gelu_approx=True,  # training/serving use the same activation; ~1e-3 vs erf

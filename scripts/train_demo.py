@@ -60,8 +60,15 @@ def main():
         # TPU-native geometry (the Q-adapter's (80,3000) is pure upsampling of
         # a 128^2 spectrogram — no information, 6x the encoder FLOPs)
         target_frames = int(os.environ.get("DEMO_TARGET", "3000"))
-        enc = config_for("tiny", compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-                         use_flash_attention=on_tpu, remat=True, gelu_approx=on_tpu,
+        # DEMO_ENCODER=base trains the bigger backbone (VMEM split-kernel
+        # path when DEMO_FUSED=1); DEMO_FUSED=1 trains through the fused
+        # whole-layer kernel's custom_vjp instead of flash+remat.
+        enc = config_for(os.environ.get("DEMO_ENCODER", "tiny"),
+                         compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+                         use_flash_attention=on_tpu,
+                         fused_block=on_tpu and os.environ.get("DEMO_FUSED", "0") == "1",
+                         remat=os.environ.get("DEMO_FUSED", "0") != "1",
+                         gelu_approx=on_tpu,
                          max_positions=target_frames // 2)
         task = build_mlgwsc(
             jax.random.PRNGKey(0), encoder=enc,

@@ -172,3 +172,47 @@ def test_encoder_quant_int8_close_to_unfused(setup):
     assert np.isfinite(got).all()
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 0.05, f"int8 encoder relative L2 {rel:.4f}"
+
+
+def test_f32_oversize_geometry_falls_back_to_reference_math(monkeypatch):
+    """Geometries whose ATTENTION-ONLY kernel exceeds the 16MB scoped VMEM
+    (f32 at T=1536: 7 (tp,D) f32 buffers = 16.5MB; v5e measured the OOM)
+    must route to the reference-math path instead of failing to compile —
+    and the routing must produce the same values."""
+    import gwkit.ops.fused_block as fb
+
+    cfg_T, D, H = 1536, 384, 6
+    rng = np.random.default_rng(0)
+
+    def mat(*s):
+        return jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.02)
+    p = {
+        "attn_ln": {"g": jnp.ones(D), "b": jnp.zeros(D)},
+        "mlp_ln": {"g": jnp.ones(D), "b": jnp.zeros(D)},
+        "q": {"w": mat(D, D), "b": jnp.zeros(D)},
+        "k": {"w": mat(D, D)},
+        "v": {"w": mat(D, D), "b": jnp.zeros(D)},
+        "o": {"w": mat(D, D), "b": jnp.zeros(D)},
+        "fc1": {"w": mat(D, 4 * D), "b": jnp.zeros(4 * D)},
+        "fc2": {"w": mat(4 * D, D), "b": jnp.zeros(D)},
+    }
+    x = jnp.asarray(rng.normal(size=(1, cfg_T, D)).astype(np.float32))
+
+    routed = {"reference": False}
+    orig = fb._reference_block
+
+    def spy(*a, **k):
+        routed["reference"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fb, "_reference_block", spy)
+    out = fb.fused_encoder_block(x, p, H, None, interpret=True)
+    assert routed["reference"], "f32 T=1536 must take the VMEM fallback"
+    want = orig(x, p, None, H, approx=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    # bf16-sized buffers at the same geometry stay on the kernel path
+    routed["reference"] = False
+    xs = jnp.asarray(rng.normal(size=(1, 256, D)).astype(np.float32))
+    fb.fused_encoder_block(xs, p, H, None, interpret=True)
+    assert not routed["reference"], "small geometries must keep the kernel path"
