@@ -127,6 +127,12 @@ def main():
         print(f"random-init model: production-equivalent threshold = "
               f"95% quantile = {threshold:.3f}")
 
+    # pass 1 carries the one-time per-tail-geometry XLA compiles (one per
+    # distinct segment length); pass 2 is the sustained steady state a
+    # month-long search spends its life in (reads + device, all warm).
+    t0 = time.time()
+    get_triggers(task, fg, trigger_threshold=threshold, batch_size=batch)
+    first_wall = time.time() - t0
     t0 = time.time()
     triggers, all_vals, result = get_triggers(
         task, fg, trigger_threshold=threshold, batch_size=batch)
@@ -157,6 +163,8 @@ def main():
         "threshold": threshold,
         "raw_triggers": n_trig,
         "clustered_events": n_events,
+        "first_pass_wall_s": round(first_wall, 1),
+        "x_realtime_first_pass": round(result.strain_seconds / first_wall, 1),
         "search_wall_s": round(search_wall, 1),
         "cluster_wall_s": round(cluster_wall, 2),
         "epilogue_frac_pct": round(100 * cluster_wall / wall, 2),
