@@ -45,6 +45,12 @@ def parse_args(argv=None):
     p.add_argument("--stream", type=int, choices=[0, 1], default=None,
                    help="Force segment streaming on/off (default: auto — C++ "
                         "prefetch when the file supports it).")
+    p.add_argument("--qscan-stream", action="store_true",
+                   help="Streaming Q-scan front end (window-overlap reuse): "
+                        "each chunk of whitened strain is Q-transformed once "
+                        "and windows crop their spectrograms from it. NOT "
+                        "exact per-window-transform parity; validated on a "
+                        "trained checkpoint (docs/results/stream_parity.md).")
     from gwkit.utils.config import parse_with_config
 
     return parse_with_config(p, argv)
@@ -174,7 +180,7 @@ def main(argv=None):
         white=args.white, whitened_file=args.debug_whitened_file,
         batch_size=args.batch_size, verbose=args.verbose,
         stream=None if args.stream is None else bool(args.stream),
-        shard_dir=args.shard_dir,
+        shard_dir=args.shard_dir, qscan_stream=args.qscan_stream,
     )
     print(f"Total slices above threshold {args.trigger_threshold:.3f}: "
           f"{sum(len(v) for v in triggers.values())}")

@@ -113,7 +113,19 @@ def qadapter_apply(cfg: QAdapterConfig, params, strain: jnp.ndarray) -> jnp.ndar
         qscan(flat, plan, norm=cfg.qscan_norm, median_stride=cfg.median_stride,
               time_decimation=cfg.time_decimation)
     )
-    x = qspec[..., None]  # (B*D, F, T, 1) NHWC
+    return qadapter_apply_spec(cfg, params, qspec.reshape(B, D, *qspec.shape[1:]))
+
+
+def qadapter_apply_spec(cfg: QAdapterConfig, params, qspec: jnp.ndarray) -> jnp.ndarray:
+    """Post-Q-scan half of :func:`qadapter_apply`: (B, D, F, T) precomputed Q
+    spectrograms -> (B, D, F*, T*) Whisper-compatible features.
+
+    Consumed by the streaming search front end (qscan_stream computes the
+    spectrograms per chunk instead of per window); qadapter_apply routes its
+    own qscan output through here so the two paths share the CNN/pool/FiLM
+    math exactly."""
+    B, D = qspec.shape[:2]
+    x = qspec.reshape(B * D, *qspec.shape[2:])[..., None]  # (B*D, F, T, 1) NHWC
     x = jax.nn.relu(_conv2d(x, params["conv1"], ((1, 1), (1, 1))))
     x = _max_pool2(x)
     x = jax.nn.relu(_conv2d(x, params["conv2"], ((1, 1), (1, 1))))

@@ -111,6 +111,9 @@ class QPlan:
     # native per-row-length formulation (the production fast path):
     buckets: Tuple[QBucket, ...] = ()
     row_inv: np.ndarray = None         # bucket-concat position of each plane-major row
+    # flat plane-major per-row physics (consumed by make_stream_plan):
+    row_f: np.ndarray = None           # row center frequency (Hz)
+    row_q: np.ndarray = None           # row Q value
 
     def dense_gather(self) -> Tuple[np.ndarray, np.ndarray]:
         """Legacy common-length dense gather tables — the reference
@@ -248,6 +251,10 @@ def make_qplan(
     src_flat = np.concatenate(src).astype(np.int32)
     dst_flat = np.concatenate(dst).astype(np.int64)
     wgt_flat = np.concatenate(wgt)
+    row_f = np.concatenate([m[0] for m in rows_meta]).astype(np.float64)
+    row_q = np.concatenate(
+        [np.full(len(m[0]), q, np.float64) for m, q in zip(rows_meta, qs)]
+    )
     return QPlan(
         duration=duration,
         sample_rate=sample_rate,
@@ -262,6 +269,8 @@ def make_qplan(
         shape=(f_bins, t_bins),
         buckets=tuple(buckets),
         row_inv=row_inv,
+        row_f=row_f,
+        row_q=row_q,
     )
 
 
@@ -366,7 +375,15 @@ def qscan(
     # back to plane-major row order (static permutation)
     tinterp = jnp.concatenate(tinterp_parts, axis=1)[:, plan.row_inv]  # (B, rows, t_bins)
     rowmax = jnp.concatenate(rowmax_parts, axis=1)[:, plan.row_inv]  # (B, rows)
+    return _plane_select(tinterp, rowmax, plan)
 
+
+def _plane_select(tinterp: jnp.ndarray, rowmax: jnp.ndarray, plan: QPlan) -> jnp.ndarray:
+    """Shared Q-scan epilogue: per-plane frequency interpolation + per-sample
+    best-plane selection (largest peak normalized energy, GWpy semantics).
+
+    ``tinterp`` (B, total_rows, t_bins) and ``rowmax`` (B, total_rows) are in
+    plane-major row order; returns (B, f_bins, t_bins)."""
     specs, peaks = [], []
     offset = 0
     for p, nr in enumerate(plan.n_rows):
@@ -379,3 +396,174 @@ def qscan(
     peak = jnp.stack(peaks, axis=1)  # (B, nplanes)
     best = jnp.argmax(peak, axis=1)
     return jnp.take_along_axis(stacked, best[:, None, None, None], axis=1)[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Streaming (window-overlap-reuse) Q-scan — PERF ledger lever 4.
+#
+# Search windows at 0.1 s stride share 95% of their samples, yet the exact
+# per-window Q-scan re-runs every row's band iDFT per window. The streaming
+# formulation transforms a CHUNK of whitened strain once — one band iFFT per
+# Q row over the whole chunk — and serves each window by cropping its 1 s
+# span out of every row's energy series (fractional-offset 2-tap interp to
+# the output grid; median/peak from a strided native-grid crop). Transform
+# work per window drops ~chunk/window-duration-fold (~10x at a 16 s chunk).
+#
+# NOT exact parity with the per-window transform (ml4gw QScan slices the
+# window first): the chunk transform sees data PAST the window boundary
+# wherever a Q window's time support crosses it, while the per-window
+# transform wraps periodically at the window edge. The bisquare bands here
+# have ~20-40 ms time support, so interior samples match closely and the
+# difference concentrates in the outer ~2 time bins of low-frequency rows.
+# Like the int8 path, this mode is OPT-IN and gated by a trained-checkpoint
+# parity report (scripts/validate_stream.py, docs/results/stream_parity.md).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamBucket:
+    """One window-plan bucket's rows, transformed at chunk scale."""
+    window_length: int          # L_w: the row's native per-window ntiles
+    length: int                 # L_b = L_w * chunk_seconds / window_duration
+    rows: np.ndarray            # plane-major row indices (same as QBucket)
+    gather_idx: np.ndarray      # (n_rows, L_b) int32 into the chunk's rfft
+    gather_weight: np.ndarray   # (n_rows, L_b) f32 bisquare window values
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamPlan:
+    base: QPlan                 # the per-window plan (rows/planes/interp)
+    chunk_seconds: int          # chunk duration (s; power of two)
+    chunk_samples: int          # chunk_seconds * sample_rate
+    buckets: Tuple[StreamBucket, ...]
+
+
+@functools.lru_cache(maxsize=8)
+def make_stream_plan(
+    duration: float = 1.0,
+    sample_rate: float = 2048.0,
+    q_range: Tuple[float, float] = (4.0, 128.0),
+    spectrogram_shape: Tuple[int, int] = (128, 128),
+    mismatch: float = 0.2,
+    chunk_seconds: int = 16,
+) -> StreamPlan:
+    """Chunk-scale gather tables for every row of the per-window Q plan.
+
+    Each row keeps its window-plan center frequency and Q; its bisquare band
+    window is re-evaluated on the chunk's rfft grid (df = 1/chunk_seconds)
+    over the same fractional frequency support, and its energy series length
+    scales to L_b = ntiles * chunk_seconds / duration — i.e. the row's
+    native per-window sampling rate, sustained across the chunk, so a window
+    crop of L_w samples lands on exactly the per-window grid instants.
+
+    The per-row normalization constant is the window plan's: for a transient
+    fully inside a window, the chunk rfft's bins interpolate the window
+    rfft's at the same amplitude, and the iFFT's 1/L_b absorbs the ~T_c-fold
+    larger number of contributing band bins, so energies match per-window
+    values without rescaling (exactly so for norm='median'/'mean', where any
+    per-row constant cancels).
+    """
+    base = make_qplan(duration, sample_rate, q_range, spectrogram_shape, mismatch)
+    t_c = int(chunk_seconds)
+    if t_c % duration != 0 or t_c <= duration:
+        raise ValueError("chunk_seconds must be a multiple of (and exceed) duration")
+    c_samples = int(round(t_c * sample_rate))
+    n_bins = c_samples // 2 + 1
+    sbuckets = []
+    for b in base.buckets:
+        l_w = b.length
+        l_b = int(l_w * t_c / duration)
+        gi = np.zeros((len(b.rows), l_b), np.int32)
+        gw = np.zeros((len(b.rows), l_b), np.float32)
+        for i, row in enumerate(b.rows):
+            f = float(base.row_f[row])
+            q = float(base.row_q[row])
+            qprime = q / np.sqrt(11.0)
+            half = int(f / qprime * t_c)
+            k = np.arange(2 * half + 1) - half
+            assert 2 * half + 1 <= l_b, "band wider than the row's chunk grid"
+            src_k = int(round(f * t_c)) + k
+            valid = (src_k >= 0) & (src_k < n_bins)
+            xfreqs = (k / t_c) * qprime / f
+            norm = l_w / (duration * sample_rate) * np.sqrt(
+                315.0 * qprime / (128.0 * f)
+            )
+            window = (1.0 - xfreqs ** 2) ** 2 * norm
+            dst_k = np.mod(k, l_b)
+            gi[i, dst_k[valid]] = src_k[valid]
+            gw[i, dst_k[valid]] = window[valid].astype(np.float32)
+        sbuckets.append(StreamBucket(
+            window_length=l_w, length=l_b, rows=b.rows,
+            gather_idx=gi, gather_weight=gw,
+        ))
+    return StreamPlan(base=base, chunk_seconds=t_c, chunk_samples=c_samples,
+                      buckets=tuple(sbuckets))
+
+
+def qscan_stream(
+    chunk: jnp.ndarray,
+    starts_sec: jnp.ndarray,
+    plan: StreamPlan,
+    *,
+    norm: str = "median",
+    median_stride: int = 1,
+) -> jnp.ndarray:
+    """Q spectrograms of B windows cropped from one chunk transform.
+
+    ``chunk`` (D, chunk_samples) whitened strain; ``starts_sec`` (B,) window
+    start times in seconds RELATIVE TO THE CHUNK START (may be traced and
+    fractional — crops interpolate). Returns (B, D, f_bins, t_bins)
+    normalized energy, the same surface as :func:`qscan` on the isolated
+    windows (up to the boundary semantics documented above). Normalization
+    (median/mean over time) and the best-plane peak are computed per window
+    from a strided crop of the row's native-grid energies, mirroring
+    :func:`qscan`'s ``median_stride`` semantics.
+    """
+    base = plan.base
+    t_bins = base.shape[1]
+    w_dur = base.duration
+    d_det = chunk.shape[0]
+    b_win = starts_sec.shape[0]
+    fseries = jnp.fft.rfft(chunk.astype(jnp.float32), axis=-1)  # (D, n_bins)
+    tparts, mparts = [], []
+    for sb in plan.buckets:
+        spec = fseries[:, sb.gather_idx] * jnp.asarray(sb.gather_weight)
+        e = jnp.fft.ifft(spec, axis=-1)
+        energy = e.real ** 2 + e.imag ** 2  # (D, n_rows, L_b) f32
+        l_w, l_b = sb.window_length, sb.length
+        rate = l_w / w_dur  # row-grid samples per second
+        pos0 = starts_sec * rate  # (B,) fractional row-grid window starts
+        # strided native crop -> median normalizer + plane-selection peak
+        s = min(median_stride, max(1, l_w // 64))
+        offs = np.arange(0, l_w, s)
+        cpos = jnp.round(pos0).astype(jnp.int32)[:, None] + jnp.asarray(offs, jnp.int32)[None]
+        cpos = jnp.clip(cpos, 0, l_b - 1)  # (B, m)
+        crop = jnp.take(energy, cpos.reshape(-1), axis=-1)
+        crop = crop.reshape(d_det, energy.shape[1], b_win, len(offs))
+        if norm == "median":
+            denom = jnp.median(crop, axis=-1)
+        elif norm == "mean":
+            denom = jnp.mean(crop, axis=-1)
+        else:
+            denom = jnp.ones(crop.shape[:-1], crop.dtype)
+        denom = jnp.maximum(denom, 1e-30)  # (D, n_rows, B)
+        mparts.append(jnp.max(crop, axis=-1) / denom)
+        # fractional-offset 2-tap interp to the output time grid
+        xtap = np.clip((np.arange(t_bins) + 0.5) * (l_w / t_bins) - 0.5, 0.0, l_w - 1.0)
+        x = pos0[:, None] + jnp.asarray(xtap, jnp.float32)[None]  # (B, t_bins)
+        lo = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, l_b - 1)
+        hi = jnp.clip(lo + 1, 0, l_b - 1)
+        w = x - lo.astype(jnp.float32)
+        glo = jnp.take(energy, lo.reshape(-1), axis=-1).reshape(
+            d_det, energy.shape[1], b_win, t_bins)
+        ghi = jnp.take(energy, hi.reshape(-1), axis=-1).reshape(
+            d_det, energy.shape[1], b_win, t_bins)
+        tparts.append((glo + w[None, None] * (ghi - glo)) / denom[..., None])
+    tinterp = jnp.concatenate(tparts, axis=1)[:, base.row_inv]  # (D, rows, B, t)
+    rowmax = jnp.concatenate(mparts, axis=1)[:, base.row_inv]  # (D, rows, B)
+    # plane selection is per (window, detector) sample, like qscan on the
+    # detector-folded batch
+    tinterp = jnp.transpose(tinterp, (2, 0, 1, 3)).reshape(b_win * d_det, -1, t_bins)
+    rowmax = jnp.transpose(rowmax, (2, 0, 1)).reshape(b_win * d_det, -1)
+    out = _plane_select(tinterp, rowmax, base)
+    return out.reshape(b_win, d_det, *base.shape)

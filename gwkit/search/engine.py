@@ -60,8 +60,11 @@ def _weights_fingerprint(tree) -> tuple:
     return tuple(parts)
 
 
-def _cached_score_fn(task, trainable, frozen):
-    key = (id(task), _weights_fingerprint(trainable), _weights_fingerprint(frozen))
+def _cached_score_fn(task, trainable, frozen, mode: str = "windows"):
+    """``mode='windows'``: score (B, D, L) strain windows via task.forward.
+    ``mode='qspec'``: score (B, D, F, T) precomputed Q spectrograms via
+    task.forward_from_qspec — the streaming search front end."""
+    key = (id(task), mode, _weights_fingerprint(trainable), _weights_fingerprint(frozen))
     hit = _SCORE_FN_CACHE.get(key)
     if hit is not None:
         # LRU, not FIFO: move-to-end so a resident server alternating one
@@ -79,10 +82,11 @@ def _cached_score_fn(task, trainable, frozen):
     frozen = jax.tree_util.tree_map(
         lambda x: x.copy() if isinstance(x, np.ndarray) else x, frozen
     )
+    fwd = task.forward if mode == "windows" else task.forward_from_qspec
 
     @jax.jit
-    def score_fn(windows):
-        out = task.forward(trainable, frozen, windows)
+    def score_fn(inputs):
+        out = fwd(trainable, frozen, inputs)
         return out[:, 0]
 
     if len(_SCORE_FN_CACHE) >= 8:  # bound stale weight retention
@@ -115,6 +119,10 @@ def score_segments(
     verbose: bool = False,
     mesh=None,
     fuse_blocks: bool = True,
+    stream_score_fn=None,
+    stream_plan_args: Optional[tuple] = None,
+    stream_norm: str = "median",
+    stream_median_stride: int = 1,
 ) -> SearchResult:
     """Run ``score_fn(windows (B,D,L)) -> scores (B,)`` over every segment.
 
@@ -127,6 +135,15 @@ def score_segments(
     round trip dominates the month-scale search (docs/PERF.md lever 5).
     Disabled automatically when a mesh resharding hook is requested (the
     unfused path places each batch explicitly).
+
+    ``stream_score_fn`` + ``stream_plan_args``: opt-in streaming Q-scan
+    front end (window-overlap reuse, PERF lever 4) — long (blocked) segments
+    Q-transform each chunk of strain ONCE and windows crop their
+    spectrograms from the shared per-row energy series
+    (DeviceSlicer.fused_scores_stream); ``stream_score_fn`` consumes
+    (B, D, F, T) spectrograms. Short (unblocked) segments fall back to the
+    exact per-window path. NOT exact per-window-transform parity — gated by
+    scripts/validate_stream.py (docs/results/stream_parity.md).
 
     ``mesh``: optional jax Mesh — window batches are resharded over its
     "data" axis before scoring, so one host's whitened segment fans out over
@@ -163,7 +180,13 @@ def score_segments(
         # dispatch every batch asynchronously; block once per segment so the
         # device pipeline stays full (per-batch np.asarray would sync-stall)
         pending = []
-        if fuse_blocks and batch_sharding is None and getattr(slicer, "_blocked", False):
+        if (stream_score_fn is not None and batch_sharding is None
+                and getattr(slicer, "_blocked", False)):
+            for dev_scores, times, valid in slicer.fused_scores_stream(
+                    stream_score_fn, stream_plan_args, norm=stream_norm,
+                    median_stride=stream_median_stride):
+                pending.append((dev_scores, times, valid))
+        elif fuse_blocks and batch_sharding is None and getattr(slicer, "_blocked", False):
             for dev_scores, times, valid in slicer.fused_scores(score_fn):
                 pending.append((dev_scores, times, valid))
         else:
@@ -213,6 +236,7 @@ def get_triggers(
     verbose: bool = False,
     stream: Optional[bool] = None,
     shard_dir: Optional[str] = None,
+    qscan_stream: bool = False,
 ) -> Tuple[Dict[str, List[List[float]]], np.ndarray, SearchResult]:
     """Full reference get_triggers flow on a gwkit Task (usually mlgwsc, USR).
 
@@ -241,6 +265,27 @@ def get_triggers(
     frozen = task.frozen
     score_fn = _cached_score_fn(task, trainable, frozen)
 
+    # Streaming Q-scan front end (opt-in, PERF lever 4): chunk transforms
+    # amortize the band iFFTs across the 95% window overlap. Chunk duration
+    # is the smallest power of two covering one batch of windows + margins.
+    stream_kwargs: dict = {}
+    if qscan_stream:
+        if task.forward_from_qspec is None or task.qcfg is None:
+            raise ValueError("qscan_stream requires a task with a Q-scan "
+                             "front end (forward_from_qspec + qcfg)")
+        qcfg = task.qcfg
+        span_sec = (batch_size - 1) * step_size + qcfg.kernel_length + 2.0
+        chunk_seconds = 1 << int(np.ceil(np.log2(span_sec)))
+        stream_kwargs = dict(
+            stream_score_fn=_cached_score_fn(task, trainable, frozen, mode="qspec"),
+            stream_plan_args=(
+                qcfg.kernel_length, float(qcfg.sample_rate), qcfg.q_range,
+                qcfg.spectrogram_shape, 0.2, chunk_seconds,
+            ),
+            stream_norm=qcfg.qscan_norm,
+            stream_median_stride=qcfg.median_stride,
+        )
+
     if stream is None:
         from gwkit.search.slicer import native_streamable
 
@@ -266,6 +311,7 @@ def get_triggers(
     result = score_segments(
         score_fn, segments, cfg, trigger_threshold=trigger_threshold,
         white=white, whitened_out=whitened_file, verbose=verbose,
+        **stream_kwargs,
     )
     if n_proc > 1:
         from gwkit.parallel.distributed import gather_trigger_lists

@@ -191,6 +191,9 @@ class SlicerConfig:
     segment_duration: float = 0.5
     max_filter_duration: float = 0.25
     batch_size: int = 128  # fastest measured scoring batch (docs/PERF.md)
+    # raw samples per whitening block; segments longer than this whiten and
+    # window in fixed-size blocks (tests shrink it to force the blocked path)
+    max_block: int = 1 << 19
 
 
 class DeviceSlicer:
@@ -216,8 +219,9 @@ class DeviceSlicer:
         segment: Segment,
         cfg: SlicerConfig = SlicerConfig(),
         white: bool = False,
-        max_block: int = 1 << 19,
+        max_block: Optional[int] = None,
     ):
+        max_block = max_block if max_block is not None else cfg.max_block
         self.cfg = cfg
         self.key = segment.key
         self.delta_t = segment.delta_t
@@ -319,6 +323,67 @@ class DeviceSlicer:
             yield scores, times[widxs_p], valid
             done += n_here
 
+    def fused_scores_stream(
+        self, score_spec_fn, plan_args: tuple, norm: str = "median",
+        median_stride: int = 1, margin: float = 1.0,
+    ) -> Iterator[Tuple[jnp.ndarray, np.ndarray, np.ndarray]]:
+        """Streaming (window-overlap-reuse) variant of :meth:`fused_scores`.
+
+        Per whitening block: whiten once, then ``lax.scan`` over CHUNKS of
+        ``batch_size`` consecutive windows — each chunk of whitened strain is
+        Q-transformed ONCE (gwkit.ops.qtransform.qscan_stream) and every
+        window crops its spectrogram out of the shared per-row energy
+        series, so the band-iFFT work is amortized ~chunk/window-duration
+        fold across the 0.1 s-stride overlap. NOT exact per-window-transform
+        parity (chunk transforms see past window boundaries — see
+        qtransform.py); opt-in, gated by scripts/validate_stream.py.
+
+        ``plan_args`` are :func:`gwkit.ops.qtransform.make_stream_plan`
+        arguments (hashable, so the jitted block program caches across
+        segments); ``margin`` (seconds) keeps chunk-edge wrap artifacts away
+        from the cropped windows. Tail chunks edge-pad (repeat the last
+        window) rather than wrap-pad: a chunk must COVER its windows, and
+        wrapped indices could sit anywhere in the block.
+        """
+        from gwkit.ops.qtransform import make_stream_plan
+
+        assert self._blocked, "fused_scores_stream is the long-segment path"
+        splan = make_stream_plan(*plan_args)
+        c_samples = splan.chunk_samples
+        margin = int(round(margin / self.delta_t))
+        b = self.cfg.batch_size
+        span = (b - 1) * self.index_step + self.cfg.slice_length
+        assert span + margin <= c_samples, (
+            f"chunk ({c_samples}) too short for {b} windows (span {span})")
+        times = self.window_times()
+        n_raw = self._raw.shape[1]
+        wb_white = self.block_raw - 2 * self.half
+        assert wb_white >= c_samples, (
+            f"whitening block ({wb_white}) shorter than a stream chunk "
+            f"({c_samples}); raise max_block or shrink the batch")
+        run = _stream_block_program(
+            score_spec_fn, plan_args, self.white, self.delta_t,
+            self.cfg.segment_duration, self.cfg.max_filter_duration,
+            self.cfg.low_frequency_cutoff, norm, median_stride,
+        )
+        done = 0
+        while done < self.n_windows:
+            g0 = done * self.index_step
+            r_b = min(g0, n_raw - self.block_raw)
+            n_here = min(self.wins_per_block, self.n_windows - done)
+            widxs = np.arange(done, done + n_here)
+            n_chunks = -(-n_here // b)
+            pad = n_chunks * b - n_here
+            widxs_p = np.pad(widxs, (0, pad), mode="edge")
+            valid = np.pad(np.ones(n_here, bool), (0, pad))
+            local = (widxs_p * self.index_step - r_b).astype(np.int64).reshape(n_chunks, b)
+            cs = np.clip(local.min(axis=1) - margin // 2, 0, wb_white - c_samples)
+            block = jnp.asarray(self._raw[:, r_b : r_b + self.block_raw])
+            scores = run(block, jnp.asarray(cs.astype(np.int32)),
+                         jnp.asarray(local.astype(np.int32)))
+            yield scores, times[widxs_p], valid
+            done += n_here
+
     def batches(self) -> Iterator[Tuple[jnp.ndarray, np.ndarray, np.ndarray]]:
         times = self.window_times()
         if not self._blocked:
@@ -387,3 +452,43 @@ def _fused_block_scores(
 
     _, scores = jax.lax.scan(body, 0, starts)
     return scores  # (n_batches, B)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _stream_block_program(
+    score_spec_fn, plan_args, white, delta_t, segment_duration,
+    max_filter_duration, low_frequency_cutoff, norm, median_stride,
+):
+    """Compiled block program for the streaming search path: whiten(raw) ->
+    scan over chunks (dynamic_slice + one qscan_stream + one batch forward
+    from Q spectrograms). lru-cached on the (function, geometry) key so every
+    same-shaped block of every segment reuses one executable — a fresh
+    jax.jit per segment would recompile the scan graph (the round-3 "warm"
+    regression, docs/PERF.md lever 5)."""
+    from gwkit.ops.qtransform import make_stream_plan, qscan_stream
+
+    splan = make_stream_plan(*plan_args)
+    c_samples = splan.chunk_samples
+
+    @jax.jit
+    def run(raw, chunk_starts, local_starts):
+        dss = raw if white else whiten_estimate(
+            raw, delta_t=delta_t, segment_duration=segment_duration,
+            max_filter_duration=max_filter_duration,
+            low_frequency_cutoff=low_frequency_cutoff,
+        )
+
+        def body(carry, xs):
+            cs, ls = xs
+            chunk = jax.lax.dynamic_slice(dss, (0, cs), (dss.shape[0], c_samples))
+            t0 = (ls - cs).astype(jnp.float32) * delta_t
+            qspec = qscan_stream(chunk, t0, splan, norm=norm, median_stride=median_stride)
+            return carry, score_spec_fn(qspec).reshape(-1)
+
+        _, scores = jax.lax.scan(body, 0, (chunk_starts, local_starts))
+        return scores  # (n_chunks, B)
+
+    return run

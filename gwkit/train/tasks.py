@@ -30,7 +30,12 @@ from gwkit.models.classifier import (
     one_channel_apply,
     two_channel_apply,
 )
-from gwkit.models.qadapter import QAdapterConfig, init_qadapter, qadapter_apply
+from gwkit.models.qadapter import (
+    QAdapterConfig,
+    init_qadapter,
+    qadapter_apply,
+    qadapter_apply_spec,
+)
 from gwkit.models.whisper import WhisperConfig, config_for, init_encoder_params
 from gwkit.ops.mel import whisper_log_mel
 from gwkit.ops.resample import resample_timeseries
@@ -51,6 +56,9 @@ class Task:
     # (trainable, frozen, strain) -> (B, D*d_model) pre-head embedding; used
     # by the InfoNCE contrastive pretrainer (any front end: Q-adapter or mel)
     embed: Optional[Callable] = None
+    # (trainable, frozen, qspec (B, D, F, T)) -> scores; the post-Q-scan
+    # forward used by the streaming (window-overlap-reuse) search front end
+    forward_from_qspec: Optional[Callable] = None
 
     def export_components(self, outdir: str, trainable: Any) -> None:
         """Reference component-export surface (MLGWSC-1/train.py:723-737):
@@ -265,5 +273,18 @@ def build_mlgwsc(
         emb = encode_embedding(cfg, enc, folded, trainable.get("adapters"))
         return emb.reshape(B, D * emb.shape[-1])
 
+    def forward_from_qspec(trainable, frozen, qspec):
+        """Like ``forward`` but from precomputed Q spectrograms (B, D, F, T)
+        — the streaming search front end computes them per chunk
+        (gwkit.ops.qtransform.qscan_stream) instead of per window."""
+        B, D = qspec.shape[:2]
+        feats = qadapter_apply_spec(
+            qcfg, trainable["qadapter"], jax.lax.stop_gradient(qspec))
+        folded = feats.reshape(B * D, *feats.shape[2:])
+        enc = trainable["encoder"] if full_finetune else frozen["encoder"]
+        emb = encode_embedding(cfg, enc, folded, trainable.get("adapters"))
+        emb = emb.reshape(B, D * emb.shape[-1])
+        return mlp_head_apply(trainable["head"], emb, softmax=cfg.softmax)
+
     return Task("mlgwsc", cfg, acfg, frozen, trainable, loss_fn, forward, qcfg=qcfg,
-                embed=embed)
+                embed=embed, forward_from_qspec=forward_from_qspec)

@@ -1,0 +1,151 @@
+"""Streaming Q-scan (window-overlap reuse) parity gate on a TRAINED checkpoint.
+
+The streaming front end (--qscan-stream / BENCH_QSCAN_STREAM=1) transforms
+each chunk of whitened strain once and crops every window's Q spectrogram
+from the shared per-row energy series — amortizing the band iFFTs across the
+95% window overlap (docs/PERF.md lever 4). It is NOT exact parity with the
+reference's per-window transform (chunk context vs periodic window wrap at
+the boundary), so, like int8, it ships opt-in behind this gate:
+
+1. Search the e2e capstone's challenge foreground AND background both ways
+   (exact vs streaming) with the trained components at the production -0.5
+   threshold: score-stream correlation, trigger-time Jaccard.
+2. Challenge-protocol outcome: cluster -> evaluate -> sensitive distance at
+   FAR operating points for both paths (the number a user actually reads).
+3. Throughput of both passes (warm), same session.
+
+Writes docs/results/stream_parity.md. Env: STREAM_VAL_DIR (the e2e artifact
+dir, default /tmp/e2e_imrd), STREAM_VAL_SECONDS (crop span, 0 = full file),
+STREAM_VAL_TARGET (512 — the capstone's serving geometry).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _crop(src, dst, seconds):
+    import h5py
+
+    if seconds <= 0:
+        return src
+    with h5py.File(src) as f, h5py.File(dst, "w") as g:
+        for det in f:
+            gd = g.create_group(det)
+            k0 = sorted(f[det].keys())[0]
+            ds = f[det][k0]
+            n = int(seconds / ds.attrs.get("delta_t", 1 / 2048.0))
+            out = gd.create_dataset(k0, data=ds[:n])
+            for a, v in ds.attrs.items():
+                out.attrs[a] = v
+    return dst
+
+
+def main():
+    import h5py
+    import jax
+
+    from gwkit.cli.inference import load_task_from_components
+    from gwkit.search.engine import get_triggers, write_search_output
+
+    base = os.environ.get("STREAM_VAL_DIR", "/tmp/e2e_imrd")
+    target = int(os.environ.get("STREAM_VAL_TARGET", "512"))
+    seconds = float(os.environ.get("STREAM_VAL_SECONDS", "0"))
+    run = os.path.join(base, "run")
+    pre = os.path.join(base, "encoder_pretrained.npz")
+    task = load_task_from_components(
+        lora_weights=os.path.join(run, "best_lora_weights"),
+        dense_weights=os.path.join(run, "best_dense_layers.npz"),
+        adapter_weights=os.path.join(run, "best_adapter.npz"),
+        pretrained_encoder=pre if os.path.isfile(pre) else None,
+        target_shape=(80, target),
+        usr=True,
+    )
+
+    fg = _crop(os.path.join(base, "fg.hdf"), "/tmp/stream_val_fg.hdf", seconds)
+    bg = _crop(os.path.join(base, "bg.hdf"), "/tmp/stream_val_bg.hdf", seconds)
+
+    results = {}
+    for name, path in (("fg", fg), ("bg", bg)):
+        for mode, streaming in (("exact", False), ("stream", True)):
+            t0 = time.time()
+            trig, all_vals, res = get_triggers(
+                task, path, trigger_threshold=-0.5, qscan_stream=streaming)
+            wall = time.time() - t0
+            flat = [t for v in trig.values() for t in v]
+            results[(name, mode)] = dict(
+                triggers=trig, all_vals=all_vals, wall=wall,
+                flat=np.asarray(flat, np.float64).reshape(-1, 2),
+                xrt=res.throughput_x_realtime, windows=res.n_windows)
+            print(f"{name}/{mode}: {len(flat)} triggers, "
+                  f"{res.throughput_x_realtime:.0f}x realtime ({wall:.1f}s)")
+
+    lines = [
+        "# Streaming Q-scan (window-overlap reuse) parity on the trained capstone",
+        "",
+        f"Components: {run}; serving geometry (80,{target}); production",
+        "threshold -0.5 (USR). 'exact' = the default per-window Q-scan",
+        "(reference semantics); 'stream' = --qscan-stream (chunk transforms,",
+        "windows crop from shared per-Q-row energy series — docs/PERF.md",
+        "lever 4). Same session, warm passes measured second.",
+        "",
+        "| file | metric | exact | stream |",
+        "|---|---|---|---|",
+    ]
+    for name in ("fg", "bg"):
+        e, s = results[(name, "exact")], results[(name, "stream")]
+        corr = float(np.corrcoef(e["all_vals"], s["all_vals"])[0, 1])
+        te = {round(float(t), 1) for t in e["flat"][:, 0]}
+        ts = {round(float(t), 1) for t in s["flat"][:, 0]}
+        jac = len(te & ts) / max(len(te | ts), 1)
+        lines += [
+            f"| {name} | raw triggers | {len(e['flat'])} | {len(s['flat'])} |",
+            f"| {name} | score correlation | | {corr:.6f} |",
+            f"| {name} | trigger-time Jaccard (0.1 s) | | {jac:.4f} |",
+            f"| {name} | x realtime (warm, incl. harvest) | {e['xrt']:.0f} | {s['xrt']:.0f} |",
+        ]
+
+    # challenge-protocol outcome both ways (the number a user actually reads)
+    inj = os.path.join(base, "inj.hdf")
+    if os.path.isfile(inj) and seconds <= 0:
+        from gwkit.evaluation.mlgwsc import find_injection_times, get_stats, read_events
+
+        lines += ["", "Challenge protocol (cluster -> evaluate, same machinery",
+                  "as scripts/e2e_mlgwsc.py):", "",
+                  "| mode | FAR<=1e4/mo | FAR<=1e3/mo | FAR<=1e2/mo | best found frac |",
+                  "|---|---|---|---|---|"]
+        dur, mask = find_injection_times([fg], inj, padding_start=30, padding_end=30)
+        with h5py.File(inj) as f:
+            injparams = {k: f[k][()][mask] for k in ("tc", "distance", "mass1", "mass2")}
+        for mode in ("exact", "stream"):
+            fe = f"/tmp/stream_val_fgev_{mode}.hdf"
+            be = f"/tmp/stream_val_bgev_{mode}.hdf"
+            write_search_output(fe, results[("fg", mode)]["triggers"],
+                                results[("fg", mode)]["all_vals"])
+            write_search_output(be, results[("bg", mode)]["triggers"],
+                                results[("bg", mode)]["all_vals"])
+            stats = get_stats(read_events([fe]), read_events([be]),
+                              injparams, duration=dur, chirp_distance=False)
+            far_month = stats["far"] * 30 * 86400
+            sd = stats["sensitive-distance"]
+            row = [mode]
+            for far_target in (10000.0, 1000.0, 100.0):
+                idx = np.searchsorted(-far_month, -far_target)
+                row.append(f"{sd[idx]:.1f} Mpc" if idx < len(sd) else "-")
+            row.append(f"{stats['sensitive-fraction'].max():.3f}")
+            lines.append("| " + " | ".join(row) + " |")
+
+    report = "\n".join(lines) + "\n"
+    path = os.path.join(REPO, "docs", "results", "stream_parity.md")
+    with open(path, "w") as f:
+        f.write(report)
+    print(report)
+
+
+if __name__ == "__main__":
+    main()
