@@ -119,13 +119,11 @@ def main():
             out = task.forward_from_qspec(task.trainable, task.frozen, qspec)
             return out[:, 0]
 
-        span_sec = (batch - 1) * 0.1 + qcfg.kernel_length + 2.0
-        chunk_seconds = 1 << int(np.ceil(np.log2(span_sec)))
         stream_kwargs = dict(
             stream_score_fn=score_spec_fn,
             stream_plan_args=(
                 qcfg.kernel_length, float(qcfg.sample_rate), qcfg.q_range,
-                qcfg.spectrogram_shape, 0.2, chunk_seconds,
+                qcfg.spectrogram_shape, 0.2,
             ),
             stream_norm=qcfg.qscan_norm,
             stream_median_stride=qcfg.median_stride,

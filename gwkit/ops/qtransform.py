@@ -422,12 +422,45 @@ def _plane_select(tinterp: jnp.ndarray, rowmax: jnp.ndarray, plan: QPlan) -> jnp
 
 @dataclasses.dataclass(frozen=True)
 class StreamBucket:
-    """One window-plan bucket's rows, transformed at chunk scale."""
+    """One window-plan bucket's rows, transformed at chunk scale.
+
+    Stores COMPACT per-row band parameters (center bin, half-width,
+    qprime/f, normalization) rather than dense (n_rows, L_b) gather tables:
+    at block scale (256 s chunks) dense tables would be ~100 MB of baked jit
+    constants; :func:`stream_energies` rebuilds the band windows on the fly
+    from these vectors with broadcasting. The dense tables remain available
+    as properties for tests/small geometries."""
     window_length: int          # L_w: the row's native per-window ntiles
     length: int                 # L_b = L_w * chunk_seconds / window_duration
+    chunk_seconds: int
+    n_bins: int                 # chunk rfft bins (index validity bound)
     rows: np.ndarray            # plane-major row indices (same as QBucket)
-    gather_idx: np.ndarray      # (n_rows, L_b) int32 into the chunk's rfft
-    gather_weight: np.ndarray   # (n_rows, L_b) f32 bisquare window values
+    centers: np.ndarray         # (n_rows,) int32 rfft bin of each row center
+    halves: np.ndarray          # (n_rows,) int32 band half-width in bins
+    qpof: np.ndarray            # (n_rows,) f64 qprime / f
+    normv: np.ndarray           # (n_rows,) f64 row normalization constant
+
+    def _signed_offsets(self) -> np.ndarray:
+        j = np.arange(self.length)
+        return ((j + self.length // 2) % self.length) - self.length // 2
+
+    @property
+    def gather_idx(self) -> np.ndarray:
+        k = self._signed_offsets()
+        idx = self.centers[:, None] + k[None, :]
+        valid = ((np.abs(k)[None, :] <= self.halves[:, None])
+                 & (idx >= 0) & (idx < self.n_bins))
+        return np.where(valid, idx, 0).astype(np.int32)
+
+    @property
+    def gather_weight(self) -> np.ndarray:
+        k = self._signed_offsets()
+        idx = self.centers[:, None] + k[None, :]
+        valid = ((np.abs(k)[None, :] <= self.halves[:, None])
+                 & (idx >= 0) & (idx < self.n_bins))
+        xf = np.clip((k[None, :] / self.chunk_seconds) * self.qpof[:, None], -1.0, 1.0)
+        w = (1.0 - xf ** 2) ** 2 * self.normv[:, None]
+        return np.where(valid, w, 0.0).astype(np.float32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -473,63 +506,142 @@ def make_stream_plan(
     for b in base.buckets:
         l_w = b.length
         l_b = int(l_w * t_c / duration)
-        gi = np.zeros((len(b.rows), l_b), np.int32)
-        gw = np.zeros((len(b.rows), l_b), np.float32)
-        for i, row in enumerate(b.rows):
-            f = float(base.row_f[row])
-            q = float(base.row_q[row])
-            qprime = q / np.sqrt(11.0)
-            half = int(f / qprime * t_c)
-            k = np.arange(2 * half + 1) - half
-            assert 2 * half + 1 <= l_b, "band wider than the row's chunk grid"
-            src_k = int(round(f * t_c)) + k
-            valid = (src_k >= 0) & (src_k < n_bins)
-            xfreqs = (k / t_c) * qprime / f
-            norm = l_w / (duration * sample_rate) * np.sqrt(
-                315.0 * qprime / (128.0 * f)
-            )
-            window = (1.0 - xfreqs ** 2) ** 2 * norm
-            dst_k = np.mod(k, l_b)
-            gi[i, dst_k[valid]] = src_k[valid]
-            gw[i, dst_k[valid]] = window[valid].astype(np.float32)
+        f = base.row_f[b.rows]
+        q = base.row_q[b.rows]
+        qprime = q / np.sqrt(11.0)
+        halves = (f / qprime * t_c).astype(np.int64)
+        assert (2 * halves + 1 <= l_b).all(), "band wider than the row's chunk grid"
+        normv = l_w / (duration * sample_rate) * np.sqrt(315.0 * qprime / (128.0 * f))
         sbuckets.append(StreamBucket(
-            window_length=l_w, length=l_b, rows=b.rows,
-            gather_idx=gi, gather_weight=gw,
+            window_length=l_w, length=l_b, chunk_seconds=t_c, n_bins=n_bins,
+            rows=b.rows,
+            centers=np.round(f * t_c).astype(np.int32),
+            halves=halves.astype(np.int32),
+            qpof=(qprime / f).astype(np.float64),
+            normv=normv.astype(np.float64),
         ))
     return StreamPlan(base=base, chunk_seconds=t_c, chunk_samples=c_samples,
                       buckets=tuple(sbuckets))
 
 
-def qscan_stream(
-    chunk: jnp.ndarray,
+@functools.lru_cache(maxsize=32)
+def _idft_factors(length: int):
+    """Four-step iDFT factors for a power-of-two length > 1024: near-square
+    L = L1*L2 with IDFT matrices of each factor plus the coupling twiddle.
+    Derivation: X viewed as (L2, L1) with X[k1 + L1*k2] -> IDFT_{L2} over k2
+    -> * exp(2pi i m2 k1 / L) -> IDFT_{L1} over k1 -> x[m1*L2 + m2]."""
+    l1 = 1 << ((int(np.log2(length)) + 1) // 2)
+    l2 = length // l1
+    w2 = np.exp(2j * np.pi * np.outer(np.arange(l2), np.arange(l2)) / l2) / l2
+    w1 = np.exp(2j * np.pi * np.outer(np.arange(l1), np.arange(l1)) / l1) / l1
+    tw = np.exp(2j * np.pi * np.outer(np.arange(l2), np.arange(l1)) / length)
+    return l1, l2, w2, tw, w1
+
+
+def _cmatmul(ar, ai, br, bi, *, left: bool):
+    """Complex matmul as four f32 real matmuls at HIGHEST precision.
+    left=True computes M @ A over the -2 axis (M=(b*, ...)), else A @ M^T
+    over the -1 axis."""
+    prec = jax.lax.Precision.HIGHEST
+    if left:
+        mm = lambda m, x: jnp.einsum("mk,...kl->...ml", m, x, precision=prec)
+    else:
+        mm = lambda x, m: jnp.einsum("...km,nm->...kn", x, m, precision=prec)
+    if left:
+        yr = mm(br, ar) - mm(bi, ai)
+        yi = mm(br, ai) + mm(bi, ar)
+    else:
+        yr = mm(ar, br) - mm(ai, bi)
+        yi = mm(ai, br) + mm(ar, bi)
+    return yr, yi
+
+
+def _ifft_energy_mxu(sr: jnp.ndarray, si: jnp.ndarray, length: int) -> jnp.ndarray:
+    """|ifft(spec)|^2 along the last axis, entirely as MXU matmuls.
+
+    XLA's TPU FFT is the streaming Q-scan's bottleneck at chunk scale (the
+    5 band iFFTs cost as much as the ENTIRE exact per-window Q-scan —
+    docs/PERF.md lever 4 profile): at the stream path's small series counts
+    the dense iDFT (L <= 1024) / four-step factorized iDFT (above, two
+    matmuls with <=~180^2 factors + twiddle) is ~an order of magnitude
+    cheaper. f32 'highest' matmuls agree with the FFT to ~1e-5, like the
+    exact path's L<=1024 iDFT-matmul route."""
+    if length <= 1024:
+        tgrid = np.arange(length)
+        m = np.exp(2j * np.pi * np.outer(tgrid, tgrid) / length) / length
+        yr, yi = _cmatmul(sr, si,
+                          jnp.asarray(m.real, jnp.float32),
+                          jnp.asarray(m.imag, jnp.float32), left=False)
+        return yr ** 2 + yi ** 2
+    l1, l2, w2, tw, w1 = _idft_factors(length)
+    ar = sr.reshape(*sr.shape[:-1], l2, l1)
+    ai = si.reshape(*si.shape[:-1], l2, l1)
+    yr, yi = _cmatmul(ar, ai,
+                      jnp.asarray(w2.real, jnp.float32),
+                      jnp.asarray(w2.imag, jnp.float32), left=True)
+    twr = jnp.asarray(tw.real, jnp.float32)
+    twi = jnp.asarray(tw.imag, jnp.float32)
+    yr, yi = yr * twr - yi * twi, yr * twi + yi * twr
+    zr, zi = _cmatmul(yr, yi,
+                      jnp.asarray(w1.real, jnp.float32),
+                      jnp.asarray(w1.imag, jnp.float32), left=False)
+    # x[m1*L2 + m2] = Z[..., m2, m1]
+    e = zr ** 2 + zi ** 2
+    e = jnp.swapaxes(e, -1, -2)
+    return e.reshape(*e.shape[:-2], length)
+
+
+def stream_energies(chunk: jnp.ndarray, plan: StreamPlan) -> Tuple[jnp.ndarray, ...]:
+    """Per-bucket (D, n_rows, L_b) Q-row energy series of one strain chunk.
+
+    Computed ONCE per chunk/whitening block — the expensive half of the
+    streaming Q-scan (chunk rfft + band iDFTs, all as MXU matmuls; XLA's TPU
+    FFT at these shapes costs as much as the entire exact per-window scan).
+    Band windows are rebuilt on the fly from the bucket's compact per-row
+    vectors, so no (n_rows, L_b) table is baked into the executable."""
+    fseries = jnp.fft.rfft(chunk.astype(jnp.float32), axis=-1)  # (D, n_bins)
+    out = []
+    for sb in plan.buckets:
+        k = jnp.asarray(sb._signed_offsets(), jnp.int32)  # (L_b,)
+        idx = jnp.asarray(sb.centers, jnp.int32)[:, None] + k[None, :]
+        valid = ((jnp.abs(k)[None, :] <= jnp.asarray(sb.halves, jnp.int32)[:, None])
+                 & (idx >= 0) & (idx < sb.n_bins))
+        xf = jnp.clip(
+            (k.astype(jnp.float32) / sb.chunk_seconds)[None, :]
+            * jnp.asarray(sb.qpof, jnp.float32)[:, None], -1.0, 1.0)
+        w = jnp.where(
+            valid,
+            (1.0 - xf ** 2) ** 2 * jnp.asarray(sb.normv, jnp.float32)[:, None],
+            0.0)
+        spec = fseries[:, jnp.clip(idx, 0, fseries.shape[-1] - 1)] * w
+        out.append(_ifft_energy_mxu(spec.real, spec.imag, sb.length))
+    return tuple(out)
+
+
+def stream_crops(
+    energies: Tuple[jnp.ndarray, ...],
     starts_sec: jnp.ndarray,
     plan: StreamPlan,
     *,
     norm: str = "median",
     median_stride: int = 1,
 ) -> jnp.ndarray:
-    """Q spectrograms of B windows cropped from one chunk transform.
+    """Q spectrograms of B windows cropped from precomputed row energies.
 
-    ``chunk`` (D, chunk_samples) whitened strain; ``starts_sec`` (B,) window
-    start times in seconds RELATIVE TO THE CHUNK START (may be traced and
-    fractional — crops interpolate). Returns (B, D, f_bins, t_bins)
-    normalized energy, the same surface as :func:`qscan` on the isolated
-    windows (up to the boundary semantics documented above). Normalization
-    (median/mean over time) and the best-plane peak are computed per window
-    from a strided crop of the row's native-grid energies, mirroring
-    :func:`qscan`'s ``median_stride`` semantics.
-    """
+    ``starts_sec`` (B,) window start times in seconds RELATIVE TO THE CHUNK
+    START (may be traced and fractional — crops interpolate). Returns
+    (B, D, f_bins, t_bins) normalized energy, the same surface as
+    :func:`qscan` on the isolated windows (up to the boundary semantics
+    documented above). Normalization (median/mean over time) and the
+    best-plane peak come from a strided crop of the row's native-grid
+    energies, mirroring :func:`qscan`'s ``median_stride`` semantics."""
     base = plan.base
     t_bins = base.shape[1]
     w_dur = base.duration
-    d_det = chunk.shape[0]
+    d_det = energies[0].shape[0]
     b_win = starts_sec.shape[0]
-    fseries = jnp.fft.rfft(chunk.astype(jnp.float32), axis=-1)  # (D, n_bins)
     tparts, mparts = [], []
-    for sb in plan.buckets:
-        spec = fseries[:, sb.gather_idx] * jnp.asarray(sb.gather_weight)
-        e = jnp.fft.ifft(spec, axis=-1)
-        energy = e.real ** 2 + e.imag ** 2  # (D, n_rows, L_b) f32
+    for sb, energy in zip(plan.buckets, energies):
         l_w, l_b = sb.window_length, sb.length
         rate = l_w / w_dur  # row-grid samples per second
         pos0 = starts_sec * rate  # (B,) fractional row-grid window starts
@@ -567,3 +679,19 @@ def qscan_stream(
     rowmax = jnp.transpose(rowmax, (2, 0, 1)).reshape(b_win * d_det, -1)
     out = _plane_select(tinterp, rowmax, base)
     return out.reshape(b_win, d_det, *base.shape)
+
+
+def qscan_stream(
+    chunk: jnp.ndarray,
+    starts_sec: jnp.ndarray,
+    plan: StreamPlan,
+    *,
+    norm: str = "median",
+    median_stride: int = 1,
+) -> jnp.ndarray:
+    """One-shot streaming Q-scan: :func:`stream_energies` (once per chunk) +
+    :func:`stream_crops` (per window batch). The search engine calls the two
+    halves separately so a whitening block's energies serve EVERY batch of
+    its windows (gwkit.search.slicer.fused_scores_stream)."""
+    return stream_crops(stream_energies(chunk, plan), starts_sec, plan,
+                        norm=norm, median_stride=median_stride)

@@ -265,22 +265,20 @@ def get_triggers(
     frozen = task.frozen
     score_fn = _cached_score_fn(task, trainable, frozen)
 
-    # Streaming Q-scan front end (opt-in, PERF lever 4): chunk transforms
-    # amortize the band iFFTs across the 95% window overlap. Chunk duration
-    # is the smallest power of two covering one batch of windows + margins.
+    # Streaming Q-scan front end (opt-in, PERF lever 4): block-wide row
+    # transforms amortize the band iDFTs across the 95% window overlap (the
+    # slicer derives the chunk duration from its whitening-block size).
     stream_kwargs: dict = {}
     if qscan_stream:
         if task.forward_from_qspec is None or task.qcfg is None:
             raise ValueError("qscan_stream requires a task with a Q-scan "
                              "front end (forward_from_qspec + qcfg)")
         qcfg = task.qcfg
-        span_sec = (batch_size - 1) * step_size + qcfg.kernel_length + 2.0
-        chunk_seconds = 1 << int(np.ceil(np.log2(span_sec)))
         stream_kwargs = dict(
             stream_score_fn=_cached_score_fn(task, trainable, frozen, mode="qspec"),
             stream_plan_args=(
                 qcfg.kernel_length, float(qcfg.sample_rate), qcfg.q_range,
-                qcfg.spectrogram_shape, 0.2, chunk_seconds,
+                qcfg.spectrogram_shape, 0.2,
             ),
             stream_norm=qcfg.qscan_norm,
             stream_median_stride=qcfg.median_stride,

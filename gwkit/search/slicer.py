@@ -325,46 +325,39 @@ class DeviceSlicer:
 
     def fused_scores_stream(
         self, score_spec_fn, plan_args: tuple, norm: str = "median",
-        median_stride: int = 1, margin: float = 1.0,
+        median_stride: int = 1,
     ) -> Iterator[Tuple[jnp.ndarray, np.ndarray, np.ndarray]]:
         """Streaming (window-overlap-reuse) variant of :meth:`fused_scores`.
 
-        Per whitening block: whiten once, then ``lax.scan`` over CHUNKS of
-        ``batch_size`` consecutive windows — each chunk of whitened strain is
-        Q-transformed ONCE (gwkit.ops.qtransform.qscan_stream) and every
-        window crops its spectrogram out of the shared per-row energy
-        series, so the band-iFFT work is amortized ~chunk/window-duration
-        fold across the 0.1 s-stride overlap. NOT exact per-window-transform
-        parity (chunk transforms see past window boundaries — see
-        qtransform.py); opt-in, gated by scripts/validate_stream.py.
+        Per whitening block: whiten once, compute every Q row's energy
+        series over the WHOLE block ONCE (gwkit.ops.qtransform
+        .stream_energies — one rfft + band iDFTs as MXU matmuls, amortized
+        over all ~2.5k windows of a 256 s block), then ``lax.scan`` over
+        window batches where each batch only CROPS its spectrograms from the
+        shared series (stream_crops) and runs the model forward. NOT exact
+        per-window-transform parity (the block transform sees past window
+        boundaries — see qtransform.py); opt-in, gated by
+        scripts/validate_stream.py.
 
-        ``plan_args`` are :func:`gwkit.ops.qtransform.make_stream_plan`
-        arguments (hashable, so the jitted block program caches across
-        segments); ``margin`` (seconds) keeps chunk-edge wrap artifacts away
-        from the cropped windows. Tail chunks edge-pad (repeat the last
-        window) rather than wrap-pad: a chunk must COVER its windows, and
-        wrapped indices could sit anywhere in the block.
+        ``plan_args`` are the GEOMETRY arguments of
+        :func:`gwkit.ops.qtransform.make_stream_plan` — (duration,
+        sample_rate, q_range, spectrogram_shape, mismatch) — hashable so the
+        jitted block program caches across segments; the chunk duration is
+        derived here as the power of two covering the whitened block (the
+        block is zero-padded up to it). Tail batches edge-pad (repeat the
+        last window).
         """
-        from gwkit.ops.qtransform import make_stream_plan
-
         assert self._blocked, "fused_scores_stream is the long-segment path"
-        splan = make_stream_plan(*plan_args)
-        c_samples = splan.chunk_samples
-        margin = int(round(margin / self.delta_t))
         b = self.cfg.batch_size
-        span = (b - 1) * self.index_step + self.cfg.slice_length
-        assert span + margin <= c_samples, (
-            f"chunk ({c_samples}) too short for {b} windows (span {span})")
         times = self.window_times()
         n_raw = self._raw.shape[1]
         wb_white = self.block_raw - 2 * self.half
-        assert wb_white >= c_samples, (
-            f"whitening block ({wb_white}) shorter than a stream chunk "
-            f"({c_samples}); raise max_block or shrink the batch")
+        chunk_seconds = 1 << int(np.ceil(np.log2(wb_white * self.delta_t)))
         run = _stream_block_program(
-            score_spec_fn, plan_args, self.white, self.delta_t,
-            self.cfg.segment_duration, self.cfg.max_filter_duration,
-            self.cfg.low_frequency_cutoff, norm, median_stride,
+            score_spec_fn, (*plan_args, chunk_seconds), self.white,
+            self.delta_t, self.cfg.segment_duration,
+            self.cfg.max_filter_duration, self.cfg.low_frequency_cutoff,
+            norm, median_stride,
         )
         done = 0
         while done < self.n_windows:
@@ -372,15 +365,13 @@ class DeviceSlicer:
             r_b = min(g0, n_raw - self.block_raw)
             n_here = min(self.wins_per_block, self.n_windows - done)
             widxs = np.arange(done, done + n_here)
-            n_chunks = -(-n_here // b)
-            pad = n_chunks * b - n_here
+            n_batches = -(-n_here // b)
+            pad = n_batches * b - n_here
             widxs_p = np.pad(widxs, (0, pad), mode="edge")
             valid = np.pad(np.ones(n_here, bool), (0, pad))
-            local = (widxs_p * self.index_step - r_b).astype(np.int64).reshape(n_chunks, b)
-            cs = np.clip(local.min(axis=1) - margin // 2, 0, wb_white - c_samples)
+            local = (widxs_p * self.index_step - r_b).reshape(n_batches, b)
             block = jnp.asarray(self._raw[:, r_b : r_b + self.block_raw])
-            scores = run(block, jnp.asarray(cs.astype(np.int32)),
-                         jnp.asarray(local.astype(np.int32)))
+            scores = run(block, jnp.asarray(local.astype(np.int32)))
             yield scores, times[widxs_p], valid
             done += n_here
 
@@ -463,32 +454,34 @@ def _stream_block_program(
     max_filter_duration, low_frequency_cutoff, norm, median_stride,
 ):
     """Compiled block program for the streaming search path: whiten(raw) ->
-    scan over chunks (dynamic_slice + one qscan_stream + one batch forward
-    from Q spectrograms). lru-cached on the (function, geometry) key so every
-    same-shaped block of every segment reuses one executable — a fresh
-    jax.jit per segment would recompile the scan graph (the round-3 "warm"
-    regression, docs/PERF.md lever 5)."""
-    from gwkit.ops.qtransform import make_stream_plan, qscan_stream
+    ONE set of block-wide Q-row energy series (stream_energies) -> scan over
+    window batches (crop spectrograms + one batch forward). The block pays
+    the transforms once; every batch only gathers. lru-cached on the
+    (function, geometry) key so every same-shaped block of every segment
+    reuses one executable — a fresh jax.jit per segment would recompile the
+    scan graph (the round-3 "warm" regression, docs/PERF.md lever 5)."""
+    from gwkit.ops.qtransform import make_stream_plan, stream_crops, stream_energies
 
     splan = make_stream_plan(*plan_args)
-    c_samples = splan.chunk_samples
 
     @jax.jit
-    def run(raw, chunk_starts, local_starts):
+    def run(raw, local_starts):
         dss = raw if white else whiten_estimate(
             raw, delta_t=delta_t, segment_duration=segment_duration,
             max_filter_duration=max_filter_duration,
             low_frequency_cutoff=low_frequency_cutoff,
         )
+        pad = splan.chunk_samples - dss.shape[1]
+        assert pad >= 0, "whitening block exceeds the stream chunk"
+        energies = stream_energies(jnp.pad(dss, ((0, 0), (0, pad))), splan)
 
-        def body(carry, xs):
-            cs, ls = xs
-            chunk = jax.lax.dynamic_slice(dss, (0, cs), (dss.shape[0], c_samples))
-            t0 = (ls - cs).astype(jnp.float32) * delta_t
-            qspec = qscan_stream(chunk, t0, splan, norm=norm, median_stride=median_stride)
+        def body(carry, ls):
+            qspec = stream_crops(
+                energies, ls.astype(jnp.float32) * delta_t, splan,
+                norm=norm, median_stride=median_stride)
             return carry, score_spec_fn(qspec).reshape(-1)
 
-        _, scores = jax.lax.scan(body, 0, (chunk_starts, local_starts))
-        return scores  # (n_chunks, B)
+        _, scores = jax.lax.scan(body, 0, local_starts)
+        return scores  # (n_batches, B)
 
     return run

@@ -66,6 +66,7 @@ def main():
     target = int(os.environ.get("MS_TARGET", "512"))
     batch = int(os.environ.get("MS_BATCH", "128"))
     threshold = float(os.environ.get("MS_THRESHOLD", "-0.5"))
+    qstream = os.environ.get("MS_QSCAN_STREAM", "0") == "1"  # streaming Q-scan (lever 4)
     seed = int(os.environ.get("MS_SEED", "11"))
     fg = os.path.join(base, "fg_monthscale.hdf")
 
@@ -121,7 +122,7 @@ def main():
             for a, v in ds.attrs.items():
                 out.attrs[a] = v
     trig_w, vals_w, _ = get_triggers(task, warm_src, trigger_threshold=1e9,
-                                     batch_size=batch)
+                                     batch_size=batch, qscan_stream=qstream)
     if "random-init" in model_src and "MS_THRESHOLD" not in os.environ:
         threshold = float(np.quantile(vals_w, 0.95))
         print(f"random-init model: production-equivalent threshold = "
@@ -131,11 +132,13 @@ def main():
     # distinct segment length); pass 2 is the sustained steady state a
     # month-long search spends its life in (reads + device, all warm).
     t0 = time.time()
-    get_triggers(task, fg, trigger_threshold=threshold, batch_size=batch)
+    get_triggers(task, fg, trigger_threshold=threshold, batch_size=batch,
+                 qscan_stream=qstream)
     first_wall = time.time() - t0
     t0 = time.time()
     triggers, all_vals, result = get_triggers(
-        task, fg, trigger_threshold=threshold, batch_size=batch)
+        task, fg, trigger_threshold=threshold, batch_size=batch,
+        qscan_stream=qstream)
     search_wall = time.time() - t0
     n_trig = sum(len(v) for v in triggers.values())
 

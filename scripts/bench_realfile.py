@@ -5,7 +5,10 @@ in-memory strain; the month-scale story is judged on real files
 (VERDICT round 1, weak #2).
 
 Env: RF_FILE (default /tmp/e2e_imrd/fg.hdf), RF_BATCH (128),
-RF_TARGET (512 production geometry).
+RF_TARGET (512 production geometry), RF_QSCAN_STREAM=1 (opt-in streaming
+Q-scan front end — window-overlap reuse, docs/PERF.md lever 4),
+RF_THRESHOLD (1e9, the table's historical zero-trigger comparison point;
+production-threshold numbers live in bench_monthscale.py / bench.py).
 """
 import os
 import sys
@@ -40,11 +43,14 @@ def main():
         total = sum(f[dets[0]][k].shape[0] for k in f[dets[0]].keys()) / 2048.0
     print(f"{path}: {total:.0f} strain-seconds/detector, native_streamable={native_streamable(path)}")
 
+    qstream = os.environ.get("RF_QSCAN_STREAM", "0") == "1"
+    threshold = float(os.environ.get("RF_THRESHOLD", "1e9"))
     for label, stream in (("cold eager", False), ("warm eager", False),
                           ("warm stream", True), ("warm stream2", True)):
         t0 = time.time()
-        _, _, result = get_triggers(task, path, trigger_threshold=1e9,
-                                    batch_size=batch, stream=stream)
+        _, _, result = get_triggers(task, path, trigger_threshold=threshold,
+                                    batch_size=batch, stream=stream,
+                                    qscan_stream=qstream)
         wall = time.time() - t0
         print(f"{label:13s}: {result.strain_seconds / wall:7.1f}x realtime wall "
               f"({result.throughput_x_realtime:7.1f}x engine-timed, {wall:.1f}s, "

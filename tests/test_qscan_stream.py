@@ -119,7 +119,9 @@ def test_engine_streaming_matches_exact_bookkeeping():
     cfg = SlicerConfig(step_size=0.25, slice_length=sr, batch_size=8,
                        segment_duration=2.0, max_filter_duration=0.5,
                        low_frequency_cutoff=10.0, max_block=4096)
-    plan_args = (1.0, float(sr), (4.0, 64.0), (64, 64), 0.2, 8)
+    # geometry args only — the slicer derives the chunk duration from its
+    # whitening block (here 3968 whitened samples -> 16 s padded chunk)
+    plan_args = (1.0, float(sr), (4.0, 64.0), (64, 64), 0.2)
     plan = make_qplan(1.0, float(sr), (4.0, 64.0), (64, 64))
 
     @jax.jit
