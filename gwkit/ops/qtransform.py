@@ -597,24 +597,40 @@ def stream_energies(chunk: jnp.ndarray, plan: StreamPlan) -> Tuple[jnp.ndarray, 
     Computed ONCE per chunk/whitening block — the expensive half of the
     streaming Q-scan (chunk rfft + band iDFTs, all as MXU matmuls; XLA's TPU
     FFT at these shapes costs as much as the entire exact per-window scan).
-    Band windows are rebuilt on the fly from the bucket's compact per-row
+
+    Each row's band is extracted as a STATIC CONTIGUOUS slice of the
+    zero-padded rfft (row centers are plan constants), never an element
+    gather: a (n_rows, L_b) runtime-index gather here measured ~300 ms per
+    256 s block on TPU vs <1 ms of DMA for the equivalent slices. The slice
+    holds the band in natural order (center bin at t = L/2) instead of the
+    iFFT's signed-offset order; the reorder is a circular shift by L/2,
+    which under the iDFT is the phase factor (-1)^m — erased by |.|^2, so
+    the energies are exactly those of the signed-offset transform. Band
+    windows are rebuilt on the fly from the bucket's compact per-row
     vectors, so no (n_rows, L_b) table is baked into the executable."""
     fseries = jnp.fft.rfft(chunk.astype(jnp.float32), axis=-1)  # (D, n_bins)
+    n_bins = fseries.shape[-1]
     out = []
     for sb in plan.buckets:
-        k = jnp.asarray(sb._signed_offsets(), jnp.int32)  # (L_b,)
-        idx = jnp.asarray(sb.centers, jnp.int32)[:, None] + k[None, :]
-        valid = ((jnp.abs(k)[None, :] <= jnp.asarray(sb.halves, jnp.int32)[:, None])
-                 & (idx >= 0) & (idx < sb.n_bins))
+        length = sb.length
+        half_l = length // 2
+        back = max(0, int(sb.centers.max()) + half_l - n_bins)
+        padded = jnp.pad(fseries, ((0, 0), (half_l, back)))
+        # row i's band occupies original bins [c_i - L/2, c_i + L/2), i.e.
+        # padded bins [c_i, c_i + L): a static slice per row (DMA, no gather)
+        spec = jnp.stack(
+            [jax.lax.slice_in_dim(padded, int(c), int(c) + length, axis=1)
+             for c in sb.centers], axis=1)  # (D, n_rows, L)
+        k = np.arange(length) - half_l  # natural-order signed offsets
         xf = jnp.clip(
-            (k.astype(jnp.float32) / sb.chunk_seconds)[None, :]
+            jnp.asarray(k / sb.chunk_seconds, jnp.float32)[None, :]
             * jnp.asarray(sb.qpof, jnp.float32)[:, None], -1.0, 1.0)
         w = jnp.where(
-            valid,
+            jnp.asarray(np.abs(k), jnp.int32)[None, :]
+            <= jnp.asarray(sb.halves, jnp.int32)[:, None],
             (1.0 - xf ** 2) ** 2 * jnp.asarray(sb.normv, jnp.float32)[:, None],
             0.0)
-        spec = fseries[:, jnp.clip(idx, 0, fseries.shape[-1] - 1)] * w
-        out.append(_ifft_energy_mxu(spec.real, spec.imag, sb.length))
+        out.append(_ifft_energy_mxu(spec.real * w, spec.imag * w, length))
     return tuple(out)
 
 
@@ -643,41 +659,59 @@ def stream_crops(
     tparts, mparts = [], []
     for sb, energy in zip(plan.buckets, energies):
         l_w, l_b = sb.window_length, sb.length
+        n_r = energy.shape[1]
         rate = l_w / w_dur  # row-grid samples per second
         pos0 = starts_sec * rate  # (B,) fractional row-grid window starts
-        # strided native crop -> median normalizer + plane-selection peak
+        # ONE batched contiguous crop per window (l_w + 3 native samples at
+        # the integer-aligned start); every tap below is a STATIC slice of
+        # it. The per-tap runtime-index gathers this replaces were the crop
+        # cost on TPU (~10 ms/batch of element gathers vs ~0.5 ms of DMA).
+        i0 = jnp.clip(jnp.floor(pos0).astype(jnp.int32), 0, l_b - (l_w + 3))
+        frac = pos0 - i0.astype(jnp.float32)  # [0, 1) away from the clamp
+        crop = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(energy, (0, 0, s), (d_det, n_r, l_w + 3))
+        )(i0)  # (B, D, n_rows, l_w + 3)
+        # strided native crop -> median normalizer + plane-selection peak;
+        # round(pos0) = i0 + (frac >= 0.5): two static strided slices + select
         s = min(median_stride, max(1, l_w // 64))
-        offs = np.arange(0, l_w, s)
-        cpos = jnp.round(pos0).astype(jnp.int32)[:, None] + jnp.asarray(offs, jnp.int32)[None]
-        cpos = jnp.clip(cpos, 0, l_b - 1)  # (B, m)
-        crop = jnp.take(energy, cpos.reshape(-1), axis=-1)
-        crop = crop.reshape(d_det, energy.shape[1], b_win, len(offs))
+        ro = (frac >= 0.5)[:, None, None, None]
+        mcrop = jnp.where(ro, crop[..., 1 : l_w + 1 : s], crop[..., 0:l_w:s])
         if norm == "median":
-            denom = jnp.median(crop, axis=-1)
+            denom = jnp.median(mcrop, axis=-1)
         elif norm == "mean":
-            denom = jnp.mean(crop, axis=-1)
+            denom = jnp.mean(mcrop, axis=-1)
         else:
-            denom = jnp.ones(crop.shape[:-1], crop.dtype)
-        denom = jnp.maximum(denom, 1e-30)  # (D, n_rows, B)
-        mparts.append(jnp.max(crop, axis=-1) / denom)
-        # fractional-offset 2-tap interp to the output time grid
-        xtap = np.clip((np.arange(t_bins) + 0.5) * (l_w / t_bins) - 0.5, 0.0, l_w - 1.0)
-        x = pos0[:, None] + jnp.asarray(xtap, jnp.float32)[None]  # (B, t_bins)
-        lo = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, l_b - 1)
-        hi = jnp.clip(lo + 1, 0, l_b - 1)
-        w = x - lo.astype(jnp.float32)
-        glo = jnp.take(energy, lo.reshape(-1), axis=-1).reshape(
-            d_det, energy.shape[1], b_win, t_bins)
-        ghi = jnp.take(energy, hi.reshape(-1), axis=-1).reshape(
-            d_det, energy.shape[1], b_win, t_bins)
-        tparts.append((glo + w[None, None] * (ghi - glo)) / denom[..., None])
-    tinterp = jnp.concatenate(tparts, axis=1)[:, base.row_inv]  # (D, rows, B, t)
-    rowmax = jnp.concatenate(mparts, axis=1)[:, base.row_inv]  # (D, rows, B)
+            denom = jnp.ones(mcrop.shape[:-1], mcrop.dtype)
+        denom = jnp.maximum(denom, 1e-30)  # (B, D, n_rows)
+        mparts.append(jnp.max(mcrop, axis=-1) / denom)
+        # 2-tap interp onto the output time grid: the window-relative tap
+        # positions are STATIC (xtap), so floor(frac + xtap) is flo or
+        # flo + 1 — three static taps of the crop cover both, blended
+        # elementwise by u = frac + (xtap - flo). When l_w/t_bins is an
+        # integer the taps are plain strided slices.
+        xtap = np.clip((np.arange(t_bins) + 0.5) * (l_w / t_bins) - 0.5,
+                       0.0, l_w - 1.0)
+        flo = np.floor(xtap).astype(np.int64)
+        step = np.diff(flo)
+        if len(flo) > 1 and (step == step[0]).all() and step[0] >= 1:
+            st = int(step[0])
+            taps = [crop[..., int(flo[0]) + d : int(flo[0]) + d + st * t_bins : st]
+                    for d in (0, 1, 2)]
+        else:
+            taps = [jnp.take(crop, jnp.asarray(flo + d, jnp.int32), axis=-1)
+                    for d in (0, 1, 2)]
+        u = frac[:, None] + jnp.asarray(xtap - flo, jnp.float32)[None]  # (B, t)
+        ub = u[:, None, None, :]
+        tint = jnp.where(ub < 1.0,
+                         (1.0 - ub) * taps[0] + ub * taps[1],
+                         (2.0 - ub) * taps[1] + (ub - 1.0) * taps[2])
+        tparts.append(tint / denom[..., None])  # (B, D, n_rows, t_bins)
+    tinterp = jnp.concatenate(tparts, axis=2)[:, :, base.row_inv]
+    rowmax = jnp.concatenate(mparts, axis=2)[:, :, base.row_inv]
     # plane selection is per (window, detector) sample, like qscan on the
     # detector-folded batch
-    tinterp = jnp.transpose(tinterp, (2, 0, 1, 3)).reshape(b_win * d_det, -1, t_bins)
-    rowmax = jnp.transpose(rowmax, (2, 0, 1)).reshape(b_win * d_det, -1)
-    out = _plane_select(tinterp, rowmax, base)
+    out = _plane_select(tinterp.reshape(b_win * d_det, -1, t_bins),
+                        rowmax.reshape(b_win * d_det, -1), base)
     return out.reshape(b_win, d_det, *base.shape)
 
 

@@ -53,6 +53,27 @@ def test_stream_plan_geometry():
     assert sorted(seen) == list(range(sum(base.n_rows)))
 
 
+def test_stream_energies_match_dense_gather_reference():
+    """The slice-based MXU energy path must reproduce the dense formulation
+    (signed-offset gather tables + complex iFFT) to float tolerance: the
+    natural-order slice differs from the gathered layout by a circular shift
+    of L/2, whose iDFT phase factor (-1)^m cancels under |.|^2."""
+    from gwkit.ops.qtransform import stream_energies
+
+    rng = np.random.default_rng(5)
+    n = int(8 * SR)
+    chunk = rng.normal(size=(2, n)).astype(np.float32)
+    splan = make_stream_plan(1.0, SR, QR, SHAPE, 0.2, 8)
+    got = stream_energies(jnp.asarray(chunk), splan)
+    fseries = np.fft.rfft(chunk, axis=-1)
+    for sb, e in zip(splan.buckets, got):
+        spec = fseries[:, sb.gather_idx] * sb.gather_weight
+        ref = np.abs(np.fft.ifft(spec, axis=-1)) ** 2
+        scale = max(ref.max(), 1e-30)
+        np.testing.assert_allclose(np.asarray(e) / scale, ref / scale,
+                                   atol=5e-5)
+
+
 def test_stream_plan_rejects_bad_chunk():
     with pytest.raises(ValueError):
         make_stream_plan(1.0, SR, QR, SHAPE, 0.2, 1)  # must exceed duration
