@@ -1,23 +1,33 @@
-"""Month-scale honest end-to-end search bench (VERDICT r3 #1).
+"""Month-scale honest end-to-end search bench + full challenge deliverable.
 
 The product's stated job is a month-long continuous search
-(reference: MLGWSC-1/inference.py:492-589 over month-scale files); this
-script measures the longest honest configuration this box can hold:
+(reference: MLGWSC-1/inference.py:492-589 over month-scale files,
+evaluate.py:104-278 for the month FAR/sensitive-distance curve). Two modes:
 
-1. Generates >=24 h of ds1 challenge foreground data on disk (skipped when
-   the file already exists), in the exact challenge HDF5 layout.
-2. Runs ONE search process over it — the same component-checkpoint path
-   `gwkit-infer` uses when MS_CKPT_DIR holds the e2e capstone export, else
-   a random-init task — at a PRODUCTION trigger threshold (default -0.5,
-   the reference's USR operating point), with the trigger-harvest epilogue
-   included in the measured wall.
-3. Reports sustained x-realtime (wall-clock, epilogue included), the
-   trigger-harvest + clustering cost as a fraction of wall, peak host RSS,
-   and device HBM stats where the backend exposes them.
+Throughput mode (default, MS_HOURS=24): generates >=24 h of ds1 challenge
+data, runs a warm + two timed search passes over the foreground, and
+reports sustained x-realtime with the trigger-harvest epilogue included.
 
-Env: MS_HOURS (24), MS_DIR (/tmp/monthscale), MS_CKPT_DIR (/tmp/e2e_imrd;
-unset/absent -> random-init model at the 95%-quantile threshold),
-MS_TARGET (512), MS_BATCH (128), MS_THRESHOLD (-0.5), MS_SEED (11).
+Month mode (MS_DAYS=30 or MONTHSCALE_DAYS=30): the flagship artifact —
+the complete MLGWSC-1 protocol at full scale:
+1. Generate the 30-day ds1 foreground AND background AND injection table
+   (exact challenge HDF5 layout, ~2x40 GB f32 on disk).
+2. Search BOTH files once each (single timed pass per file — the honest
+   steady state; one-time XLA compiles are amortized by a short warm
+   slice first), cluster triggers, write event files. Each search is
+   resumable: a sidecar JSON records the wall/windows so an interrupted
+   run skips completed files.
+3. Evaluate with the challenge protocol (find_injection_times +
+   get_stats): the month's FAR-vs-sensitive-distance table at the
+   production operating point.
+Reports per-file and combined sustained x-realtime (wall-clock, epilogue
+included), peak host RSS, and device HBM stats.
+
+Env: MS_DAYS / MONTHSCALE_DAYS (month mode), MS_HOURS (24), MS_DIR
+(/tmp/monthscale), MS_CKPT_DIR (/tmp/e2e_imrd; unset/absent -> random-init
+model at the 95%-quantile threshold), MS_TARGET (512), MS_BATCH (128),
+MS_THRESHOLD (-0.5), MS_SEED (11), MS_EVAL (force the evaluate stage on or
+off; defaults on in month mode), MS_QSCAN_STREAM (streaming Q-scan lever).
 """
 import json
 import os
@@ -37,43 +47,30 @@ def _peak_rss_gb() -> float:
 def ensure_data(path: str, hours: float, seed: int) -> None:
     import h5py
 
-    if os.path.isfile(path):
+    inj = path.replace("fg", "inj")
+    # inj is written last by the generator -> completion marker; a partial
+    # fg from an interrupted run must not short-circuit regeneration
+    if os.path.isfile(path) and os.path.isfile(inj):
         with h5py.File(path) as f:
             dets = sorted(f.keys())
             total = sum(f[dets[0]][k].shape[0] for k in f[dets[0]]) / 2048.0
         if total >= hours * 3600.0 * 0.95:
-            print(f"reusing {path}: {total / 3600.0:.1f} h on disk")
+            print(f"reusing {path}: {total / 3600.0:.1f} h on disk", flush=True)
             return
     from gwkit.data.generate import generate_challenge_data
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
     bg = path.replace("fg", "bg")
-    inj = path.replace("fg", "inj")
     t0 = time.time()
     generate_challenge_data(
         path, bg, inj, duration=hours * 3600.0, seed=seed, dataset=1)
-    print(f"generated {hours:.0f} h ds1 challenge data in {time.time() - t0:.0f}s")
+    print(f"generated {hours:.0f} h ds1 challenge data (fg+bg+inj) in "
+          f"{time.time() - t0:.0f}s", flush=True)
 
 
-def main():
-    import h5py
+def _load_model(ckpt: str, target: int):
     import jax
     import jax.numpy as jnp
-
-    hours = float(os.environ.get("MS_HOURS", "24"))
-    base = os.environ.get("MS_DIR", "/tmp/monthscale")
-    ckpt = os.environ.get("MS_CKPT_DIR", "/tmp/e2e_imrd")
-    target = int(os.environ.get("MS_TARGET", "512"))
-    batch = int(os.environ.get("MS_BATCH", "128"))
-    threshold = float(os.environ.get("MS_THRESHOLD", "-0.5"))
-    qstream = os.environ.get("MS_QSCAN_STREAM", "0") == "1"  # streaming Q-scan (lever 4)
-    seed = int(os.environ.get("MS_SEED", "11"))
-    fg = os.path.join(base, "fg_monthscale.hdf")
-
-    print(f"devices: {jax.devices()}")
-    ensure_data(fg, hours, seed)
-
-    from gwkit.search.engine import get_triggers, write_search_output
 
     run = os.path.join(ckpt, "run")
     if os.path.isdir(run):
@@ -86,31 +83,30 @@ def main():
             adapter_weights=os.path.join(run, "best_adapter.npz"),
             pretrained_encoder=pre if os.path.isfile(pre) else None,
             target_shape=(80, target), usr=True)
-        model_src = f"trained capstone components ({run})"
-    else:
-        from gwkit.models.qadapter import QAdapterConfig
-        from gwkit.models.whisper import config_for
-        from gwkit.train.tasks import build_mlgwsc
+        return task, f"trained capstone components ({run})"
+    from gwkit.models.qadapter import QAdapterConfig
+    from gwkit.models.whisper import config_for
+    from gwkit.train.tasks import build_mlgwsc
 
-        on_tpu = jax.devices()[0].platform != "cpu"
-        enc = config_for(
-            "tiny", compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-            use_flash_attention=on_tpu, fused_block=on_tpu, gelu_approx=True,
-            max_positions=target // 2)
-        task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc,
-                            qcfg=QAdapterConfig(median_stride=8,
-                                                target_shape=(80, target)),
-                            usr=True)
-        model_src = "random-init (no checkpoint dir); threshold from 95% score quantile"
+    on_tpu = jax.devices()[0].platform != "cpu"
+    enc = config_for(
+        "tiny", compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_flash_attention=on_tpu, fused_block=on_tpu, gelu_approx=True,
+        max_positions=target // 2)
+    task = build_mlgwsc(jax.random.PRNGKey(0), encoder=enc,
+                        qcfg=QAdapterConfig(median_stride=8,
+                                            target_shape=(80, target)),
+                        usr=True)
+    return task, "random-init (no checkpoint dir); threshold from 95% score quantile"
 
-    with h5py.File(fg) as f:
-        dets = sorted(f.keys())
-        n_segs = len(f[dets[0]].keys())
-        total = sum(f[dets[0]][k].shape[0] for k in f[dets[0]]) / 2048.0
-    print(f"{fg}: {total / 3600.0:.2f} h/detector in {n_segs} segments; model: {model_src}")
 
-    # warm pass over a SHORT slice only (compiles); measured pass is cold-ish
-    # on the data but warm on executables — the honest steady state.
+def _warm_slice(fg: str, base: str, dets, task, batch, qstream):
+    """Compile the search executables on a 10-minute slice of the longest
+    segment; returns the slice's raw score values (threshold quantile)."""
+    import h5py
+
+    from gwkit.search.engine import get_triggers
+
     warm_src = os.path.join(base, "warm_slice.hdf")
     with h5py.File(fg) as f, h5py.File(warm_src, "w") as g:
         for det in dets:
@@ -121,16 +117,177 @@ def main():
             out = gd.create_dataset(key, data=ds[:n])
             for a, v in ds.attrs.items():
                 out.attrs[a] = v
-    trig_w, vals_w, _ = get_triggers(task, warm_src, trigger_threshold=1e9,
-                                     batch_size=batch, qscan_stream=qstream)
+    _, vals_w, _ = get_triggers(task, warm_src, trigger_threshold=1e9,
+                                batch_size=batch, qscan_stream=qstream)
+    return vals_w
+
+
+def _timed_search(task, path, events_path, meta_path, threshold, batch,
+                  qstream):
+    """One timed search pass + clustering over ``path``; resumable via the
+    sidecar ``meta_path`` (skip if both sidecar and event file exist)."""
+    import h5py
+
+    from gwkit.search.engine import get_triggers, write_search_output
+
+    if os.path.isfile(meta_path) and os.path.isfile(events_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        print(f"reusing completed search {events_path}: "
+              f"{meta['x_realtime_incl_epilogue']}x", flush=True)
+        return meta
+    t0 = time.time()
+    triggers, all_vals, result = get_triggers(
+        task, path, trigger_threshold=threshold, batch_size=batch,
+        qscan_stream=qstream)
+    search_wall = time.time() - t0
+    t1 = time.time()
+    write_search_output(events_path, triggers, all_vals)
+    cluster_wall = time.time() - t1
+    with h5py.File(events_path) as f:
+        n_events = f["time"].shape[0]
+    wall = search_wall + cluster_wall
+    meta = {
+        "file": os.path.basename(path),
+        "hours": round(result.strain_seconds / 3600.0, 2),
+        "strain_seconds": result.strain_seconds,
+        "windows": result.n_windows,
+        "raw_triggers": sum(len(v) for v in triggers.values()),
+        "clustered_events": n_events,
+        "search_wall_s": round(search_wall, 1),
+        "cluster_wall_s": round(cluster_wall, 2),
+        "epilogue_frac_pct": round(100 * cluster_wall / wall, 2),
+        "x_realtime_incl_epilogue": round(result.strain_seconds / wall, 1),
+        "x_realtime_engine_timed": round(result.throughput_x_realtime, 1),
+    }
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
+    print(json.dumps(meta), flush=True)
+    return meta
+
+
+def evaluate_month(base: str, fg: str, inj: str):
+    """Challenge protocol over the month: FAR curve + sensitive distance
+    (reference evaluate.py:104-278 semantics via gwkit.evaluation.mlgwsc)."""
+    import h5py
+
+    from gwkit.evaluation.mlgwsc import (find_injection_times, get_stats,
+                                         read_events)
+
+    dur, mask = find_injection_times([fg], inj, padding_start=30,
+                                     padding_end=30)
+    with h5py.File(inj) as f:
+        injparams = {k: f[k][()][mask]
+                     for k in ("tc", "distance", "mass1", "mass2")}
+    stats = get_stats(
+        read_events([os.path.join(base, "fg_events.hdf")]),
+        read_events([os.path.join(base, "bg_events.hdf")]),
+        injparams, duration=dur, chirp_distance=False)
+    far_month = stats["far"] * 30 * 86400
+    sd = stats["sensitive-distance"]
+    table = {}
+    for far_target in (10000.0, 1000.0, 100.0, 10.0, 1.0):
+        idx = np.searchsorted(-far_month, -far_target)
+        if idx < len(sd):
+            table[f"far<={far_target:g}/month"] = round(float(sd[idx]), 1)
+            print(f"sensitive distance @ FAR<={far_target:g}/month: "
+                  f"{sd[idx]:.1f} Mpc", flush=True)
+    with h5py.File(os.path.join(base, "stats.hdf"), "w") as f:
+        for key, val in stats.items():
+            f.create_dataset(key, data=np.asarray(val))
+    return {
+        "analyzed_days": round(dur / 86400.0, 2),
+        "n_injections_in_span": int(mask.sum()),
+        "best_sensitive_fraction": round(float(stats["sensitive-fraction"].max()), 4),
+        "sensitive_distance_mpc": table,
+    }
+
+
+def main():
+    import h5py
+    import jax
+
+    days_env = os.environ.get("MS_DAYS") or os.environ.get("MONTHSCALE_DAYS")
+    hours = (float(days_env) * 24.0 if days_env
+             else float(os.environ.get("MS_HOURS", "24")))
+    month_mode = days_env is not None
+    do_eval = os.environ.get("MS_EVAL", "1" if month_mode else "0") == "1"
+    base = os.environ.get("MS_DIR", "/tmp/monthscale")
+    ckpt = os.environ.get("MS_CKPT_DIR", "/tmp/e2e_imrd")
+    target = int(os.environ.get("MS_TARGET", "512"))
+    batch = int(os.environ.get("MS_BATCH", "128"))
+    threshold = float(os.environ.get("MS_THRESHOLD", "-0.5"))
+    qstream = os.environ.get("MS_QSCAN_STREAM", "0") == "1"  # streaming Q-scan (lever 4)
+    seed = int(os.environ.get("MS_SEED", "11"))
+    fg = os.path.join(base, "fg_monthscale.hdf")
+    bg = fg.replace("fg", "bg")
+    inj = fg.replace("fg", "inj")
+
+    print(f"devices: {jax.devices()}", flush=True)
+    ensure_data(fg, hours, seed)
+
+    task, model_src = _load_model(ckpt, target)
+    with h5py.File(fg) as f:
+        dets = sorted(f.keys())
+        n_segs = len(f[dets[0]].keys())
+        total = sum(f[dets[0]][k].shape[0] for k in f[dets[0]]) / 2048.0
+    print(f"{fg}: {total / 3600.0:.2f} h/detector in {n_segs} segments; "
+          f"model: {model_src}", flush=True)
+
+    # warm pass over a SHORT slice only (compiles); measured passes are
+    # cold on the data but warm on executables — the honest steady state.
+    vals_w = _warm_slice(fg, base, dets, task, batch, qstream)
     if "random-init" in model_src and "MS_THRESHOLD" not in os.environ:
         threshold = float(np.quantile(vals_w, 0.95))
         print(f"random-init model: production-equivalent threshold = "
-              f"95% quantile = {threshold:.3f}")
+              f"95% quantile = {threshold:.3f}", flush=True)
 
-    # pass 1 carries the one-time per-tail-geometry XLA compiles (one per
-    # distinct segment length); pass 2 is the sustained steady state a
-    # month-long search spends its life in (reads + device, all warm).
+    hbm = {}
+
+    def grab_hbm():
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            return {k: round(v / 1e9, 3) for k, v in stats.items()
+                    if k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")}
+        except Exception as e:  # backend may not expose memory_stats
+            return {"unavailable": str(e)}
+
+    if month_mode:
+        # one timed pass per file, fg then bg, each resumable
+        metas = {}
+        for name, path in (("fg", fg), ("bg", bg)):
+            metas[name] = _timed_search(
+                task, path,
+                os.path.join(base, f"{name}_events.hdf"),
+                os.path.join(base, f"{name}_search_meta.json"),
+                threshold, batch, qstream)
+        hbm = grab_hbm()
+        strain = sum(m["strain_seconds"] for m in metas.values())
+        wall = sum(m["search_wall_s"] + m["cluster_wall_s"]
+                   for m in metas.values())
+        summary = {
+            "mode": "month",
+            "days_per_detector_file": round(total / 86400.0, 2),
+            "segments": n_segs,
+            "threshold": threshold,
+            "per_file": metas,
+            "combined_strain_days": round(strain / 86400.0, 2),
+            "combined_wall_s": round(wall, 1),
+            "sustained_x_realtime": round(strain / wall, 1),
+            "peak_host_rss_gb": round(_peak_rss_gb(), 2),
+            "hbm_gb": hbm,
+            "model": model_src,
+        }
+        if do_eval:
+            summary["evaluation"] = evaluate_month(base, fg, inj)
+        print(json.dumps(summary, indent=2), flush=True)
+        return
+
+    from gwkit.search.engine import get_triggers, write_search_output
+
+    # throughput mode: pass 1 carries the one-time per-tail-geometry XLA
+    # compiles (one per distinct segment length); pass 2 is the sustained
+    # steady state a month-long search spends its life in.
     t0 = time.time()
     get_triggers(task, fg, trigger_threshold=threshold, batch_size=batch,
                  qscan_stream=qstream)
@@ -151,13 +308,7 @@ def main():
 
     wall = search_wall + cluster_wall
     x_rt = result.strain_seconds / wall
-    hbm = {}
-    try:
-        stats = jax.devices()[0].memory_stats() or {}
-        hbm = {k: round(v / 1e9, 3) for k, v in stats.items()
-               if k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")}
-    except Exception as e:  # backend may not expose memory_stats
-        hbm = {"unavailable": str(e)}
+    hbm = grab_hbm()
 
     summary = {
         "hours": round(result.strain_seconds / 3600.0, 2),
@@ -177,7 +328,7 @@ def main():
         "hbm_gb": hbm,
         "model": model_src,
     }
-    print(json.dumps(summary, indent=2))
+    print(json.dumps(summary, indent=2), flush=True)
 
 
 if __name__ == "__main__":

@@ -5,6 +5,8 @@ Stages (each resumable via its own artifact/arm cache; a stage failure is
 recorded and does not stop the rest):
 
   tests     — `pytest tests/ -q` on the CPU backend
+  tpu_tests — `pytest tests/ -q -m tpu` compiled on the real chip
+              (GWKIT_TPU_TESTS=1; kernel parity with backend tolerances)
   bench     — bench.py production geometry (+ strict reference geometry)
   realfile  — scripts/bench_realfile.py warm-search throughput
   e2e       — scripts/e2e_mlgwsc.py capstone (train -> search -> evaluate)
@@ -12,7 +14,7 @@ recorded and does not stop the rest):
 
 Writes NIGHTLY.json {stage: {ok, seconds, tail}} to NIGHTLY_OUT
 (default /tmp/nightly). Select stages with NIGHTLY_STAGES (comma list,
-default "tests,bench"); the heavy stages (e2e, ablation: hours on the
+default "tests,tpu_tests,bench"); the heavy stages (e2e, ablation: hours on the
 single chip) are opt-in. TPU stages run serially — this machine's chip
 supports ONE process at a time.
 """
@@ -42,12 +44,16 @@ def run_stage(name: str, cmd, env=None, timeout=14400):
 def main():
     out = os.environ.get("NIGHTLY_OUT", "/tmp/nightly")
     os.makedirs(out, exist_ok=True)
-    stages = os.environ.get("NIGHTLY_STAGES", "tests,bench").split(",")
+    stages = os.environ.get("NIGHTLY_STAGES", "tests,tpu_tests,bench").split(",")
     py = sys.executable
     results = {}
 
     plan = {
         "tests": ([py, "-m", "pytest", "tests/", "-q"], {}),
+        # on-TPU kernel-parity lane (VERDICT r4 #3): the same hot kernels the
+        # CPU suite covers in interpret mode, compiled on the real chip
+        "tpu_tests": ([py, "-m", "pytest", "tests/", "-q", "-m", "tpu"],
+                      {"GWKIT_TPU_TESTS": "1"}),
         "bench": ([py, "bench.py"], {}),
         "bench_strict": ([py, "bench.py"],
                          {"BENCH_TARGET_FRAMES": "3000", "BENCH_TIME_DECIMATION": "1"}),

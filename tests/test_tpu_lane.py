@@ -1,0 +1,243 @@
+"""On-TPU kernel-parity lane (VERDICT r4 #3): the compiled-on-hardware
+behavior of every hot kernel, asserted with backend-scaled tolerances.
+
+Run with `GWKIT_TPU_TESTS=1 python -m pytest tests/ -q -m tpu` on a machine
+with a TPU attached (tests/conftest.py skips the CPU pin under that env
+var). The default CPU suite covers the same kernels in Pallas interpret
+mode (tests/test_fused_block.py, test_attention.py, ...); this lane is the
+missing rung of SURVEY.md §4's pyramid — the real Mosaic compile, MXU
+accumulation, and bf16 serving dtypes:
+
+  fused_block vs unfused reference math  (fwd + grad, f32 and bf16)
+  flash attention fwd/bwd vs reference   (f32)
+  log-mel chip vs CPU backend
+  Q-scan exact + streaming chip vs CPU backend
+  one mlgwsc train step (production bf16/fused/flash config)
+  one short search: bf16 serving stack vs f32 vanilla-XLA stack
+
+Tolerances: TPU f32 matmuls run at `jax_default_matmul_precision=highest`
+(3-pass bf16), so f32 kernel-vs-reference gates sit at ~1e-3 relative L2;
+bf16 serving-vs-f32 gates at ~2e-2 (one bf16 mantissa step is 2^-8).
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _require_device():
+    if jax.default_backend() == "cpu":
+        pytest.skip("on-TPU lane requires a non-CPU backend")
+
+
+def rel_l2(got, want):
+    got, want = np.asarray(got, np.float64), np.asarray(want, np.float64)
+    return float(np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-30))
+
+
+def on_cpu(fn, *args):
+    """Evaluate ``fn`` on the host CPU backend (the golden reference)."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        placed = [jax.device_put(np.asarray(a), cpu) for a in args]
+        return np.asarray(fn(*placed))
+
+
+# ---------------------------------------------------------------- fused block
+
+CFG_DIMS = dict(d_model=384, n_heads=6, n_layers=1, d_ff=1536, max_positions=256)
+
+
+@pytest.fixture(scope="module")
+def block_setup():
+    from gwkit.models.adapters import AdapterConfig, init_adapters
+    from gwkit.models.whisper import WhisperConfig, init_encoder_params
+
+    cfg = WhisperConfig(**CFG_DIMS)
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    adapters = init_adapters(
+        jax.random.PRNGKey(1), cfg,
+        AdapterConfig(r=8, alpha=32, use_dora=True, targets="qkvo"), params)
+    adapters = jax.tree.map(
+        lambda a: a + 0.01 * np.arange(a.size, dtype=np.float32).reshape(a.shape) % 0.07,
+        adapters)
+    p = jax.tree.map(lambda a: a[0], params["layers"])
+    ad = jax.tree.map(lambda a: a[0], adapters)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(4, 256, 384)).astype(np.float32))
+    return cfg, p, ad, x
+
+
+def test_fused_block_compiled_f32(block_setup):
+    from gwkit.ops.fused_block import _reference_block, fused_encoder_block
+
+    cfg, p, ad, x = block_setup
+    want = _reference_block(x, p, ad, cfg.n_heads, True)
+    got = fused_encoder_block(x, p, cfg.n_heads, ad, approx=True)  # compiled
+    assert rel_l2(got, want) < 2e-3
+
+
+def test_fused_block_compiled_bf16(block_setup):
+    """The serving dtype: bf16 activations through the compiled kernel vs
+    the f32 reference math — bounds the total serving-precision drift."""
+    from gwkit.ops.fused_block import _reference_block, fused_encoder_block
+
+    cfg, p, ad, x = block_setup
+    want = _reference_block(x, p, ad, cfg.n_heads, True)
+    cast = lambda t: jax.tree.map(lambda a: a.astype(jnp.bfloat16), t)
+    got = fused_encoder_block(x.astype(jnp.bfloat16), cast(p), cfg.n_heads,
+                              cast(ad), approx=True)
+    assert rel_l2(np.asarray(got, np.float32), want) < 3e-2
+
+
+def test_fused_block_grad_compiled(block_setup):
+    from gwkit.ops.fused_block import _reference_block, fused_encoder_block
+
+    cfg, p, ad, x = block_setup
+    g_ref = jax.grad(lambda x_, p_, a_: _reference_block(
+        x_, p_, a_, cfg.n_heads, True).sum(), argnums=(0, 2))(x, p, ad)
+    g_got = jax.grad(lambda x_, p_, a_: fused_encoder_block(
+        x_, p_, cfg.n_heads, a_, approx=True).sum(), argnums=(0, 2))(x, p, ad)
+    assert rel_l2(g_got[0], g_ref[0]) < 5e-3  # d/dx
+    for leaf_got, leaf_ref in zip(jax.tree.leaves(g_got[1]), jax.tree.leaves(g_ref[1])):
+        assert rel_l2(leaf_got, leaf_ref) < 5e-3  # d/d adapters
+
+
+# ------------------------------------------------------------ flash attention
+
+def test_flash_attention_compiled(rng):
+    from gwkit.ops.attention import flash_attention, reference_attention
+
+    B, T, H, hd = 2, 256, 6, 64
+    q = jnp.asarray(rng.normal(size=(B, T, H, hd)).astype(np.float32)) * hd ** -0.5
+    k = jnp.asarray(rng.normal(size=(B, T, H, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, H, hd)).astype(np.float32))
+    ref = reference_attention(q, k, v)
+    ours = flash_attention(q, k, v)  # compiled Mosaic kernel
+    assert rel_l2(ours, ref) < 2e-3
+
+
+def test_flash_attention_bwd_compiled(rng):
+    from gwkit.ops.attention import flash_attention, reference_attention
+
+    B, T, H, hd = 2, 256, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, T, H, hd)).astype(np.float32)) * hd ** -0.5
+    k = jnp.asarray(rng.normal(size=(B, T, H, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, H, hd)).astype(np.float32))
+    g1 = jax.grad(lambda *a: flash_attention(*a).sum(), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: reference_attention(*a).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        assert rel_l2(a, b) < 5e-3
+
+
+# ------------------------------------------------------------------- log-mel
+
+def test_log_mel_chip_vs_cpu(rng):
+    from gwkit.ops.mel import whisper_log_mel
+
+    audio = rng.normal(size=(2, 32000)).astype(np.float32)
+    got = np.asarray(whisper_log_mel(jnp.asarray(audio)))
+    want = on_cpu(whisper_log_mel, audio)
+    # log-domain output, O(1) dynamic range: absolute tolerance is the
+    # meaningful gate (rel_l2 additionally guards systematic drift)
+    assert rel_l2(got, want) < 2e-3
+    assert float(np.max(np.abs(got - want))) < 2e-2
+
+
+# ------------------------------------------------------------------- Q-scan
+
+def test_qscan_exact_chip_vs_cpu(rng):
+    from gwkit.ops.qtransform import qscan
+
+    strain = rng.normal(size=(4, 2048)).astype(np.float32)
+    got = np.asarray(qscan(jnp.asarray(strain)))
+    want = on_cpu(lambda s: qscan(s), strain)
+    assert rel_l2(got, want) < 2e-3
+
+
+def test_qscan_stream_chip_vs_cpu(rng):
+    from gwkit.ops.qtransform import make_stream_plan, qscan_stream
+
+    plan = make_stream_plan(1.0, 2048.0, (4.0, 128.0), (128, 128), 0.2,
+                            chunk_seconds=8)
+    chunk = rng.normal(size=(2, plan.chunk_samples)).astype(np.float32)
+    starts = np.array([0.5, 2.25, 5.0], np.float32)
+    got = np.asarray(qscan_stream(jnp.asarray(chunk), jnp.asarray(starts), plan))
+    want = on_cpu(lambda c, s: qscan_stream(c, s, plan), chunk, starts)
+    assert rel_l2(got, want) < 2e-3
+
+
+# ------------------------------------------------------- train step + search
+
+def _task(usr: bool, production: bool, target: int = 256):
+    from gwkit.models.qadapter import QAdapterConfig
+    from gwkit.models.whisper import config_for
+    from gwkit.train.tasks import build_mlgwsc
+
+    enc = config_for(
+        "tiny",
+        compute_dtype=jnp.bfloat16 if production else jnp.float32,
+        use_flash_attention=production, fused_block=production,
+        gelu_approx=True, remat=production, max_positions=target // 2)
+    return build_mlgwsc(
+        jax.random.PRNGKey(0), encoder=enc,
+        qcfg=QAdapterConfig(median_stride=8, target_shape=(80, target)),
+        usr=usr)
+
+
+def test_train_step_production_config(rng):
+    """One compiled loss+grad step of the full mlgwsc graph in the exact
+    production training config (bf16 + fused block + flash + remat)."""
+    import optax
+
+    task = _task(usr=False, production=True)
+    x = rng.normal(size=(8, 2, 2048)).astype(np.float32)
+    y = np.zeros((8, 2), np.float32)
+    y[:4, 0] = 1.0
+    y[4:, 1] = 1.0
+    batch = (jnp.asarray(x), jnp.asarray(y))
+
+    @jax.jit
+    def step(trainable, batch):
+        (loss, aux), grads = jax.value_and_grad(task.loss_fn, has_aux=True)(
+            trainable, task.frozen, batch, jax.random.PRNGKey(1))
+        return loss, grads
+
+    loss, grads = step(task.trainable, batch)
+    gnorm = optax.global_norm(grads)
+    assert np.isfinite(float(loss)) and 0.0 < float(loss) < 10.0
+    assert np.isfinite(float(gnorm)) and float(gnorm) > 0.0
+
+
+def test_short_search_bf16_vs_f32(tmp_path, rng):
+    """300 s search on the chip: the full bf16 serving stack (fused block +
+    flash + bf16) vs the vanilla-XLA f32 stack, same weights. Gates the
+    end-to-end serving-precision drift at the score surface."""
+    import h5py
+
+    from gwkit.search.engine import get_triggers
+
+    path = str(tmp_path / "short.hdf")
+    n = int(300 * 2048)
+    with h5py.File(path, "w") as f:
+        for det in ("H1", "L1"):
+            g = f.create_group(det)
+            ds = g.create_dataset("0", data=rng.normal(size=n).astype(np.float32))
+            ds.attrs["start_time"] = 1238166018.0
+            ds.attrs["delta_t"] = 1.0 / 2048.0
+
+    vals = {}
+    for name, production in (("bf16", True), ("f32", False)):
+        task = _task(usr=True, production=production)
+        _, all_vals, res = get_triggers(task, path, trigger_threshold=1e9,
+                                        batch_size=128)
+        vals[name] = np.asarray(all_vals, np.float64)
+        assert res.n_windows == len(all_vals)
+    assert vals["bf16"].shape == vals["f32"].shape
+    corr = float(np.corrcoef(vals["bf16"], vals["f32"])[0, 1])
+    assert corr > 0.98, f"bf16 serving stack decorrelated from f32: {corr}"
