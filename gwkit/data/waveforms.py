@@ -24,6 +24,7 @@ SI units; tc places the coalescence within the segment.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from functools import partial
 from typing import Dict, Tuple
 
@@ -184,6 +185,39 @@ APPROXIMANTS = (
 )
 
 
+_APPROXIMANT_ALIASES = {
+    # The reference Efficiency_test's DEFAULT waveform is SEOBNRv4_opt
+    # (Signal_vs_Noise/Efficiency_test/generate_data.py:182). gwkit ships no
+    # EOB-family model (closed-form JAX reimplementations only), so the
+    # SEOBNRv4 variants alias to IMRPhenomD — the same physical role
+    # (aligned-spin BBH inspiral-merger-ringdown) — with a logged warning,
+    # so reference commands port verbatim (docs/MIGRATION.md §3).
+    "seobnrv4": "imrphenomd",
+    "seobnrv4_opt": "imrphenomd",
+    "seobnrv4_rom": "imrphenomd",
+    "seobnrv4_pseudofourpn": "imrphenomd",
+}
+
+
+def canonical_approximant(name: str) -> str:
+    """Lower-case and alias-resolve an approximant string (one warning per
+    distinct substitution; trace-time only — names are static)."""
+    key = name.lower()
+    sub = _APPROXIMANT_ALIASES.get(key)
+    if sub is not None:
+        if key not in _warned_aliases:
+            _warned_aliases.add(key)
+            logging.warning(
+                "approximant %r has no gwkit implementation; substituting %s "
+                "(same physical role: aligned-spin BBH IMR — see "
+                "docs/MIGRATION.md)", name, sub)
+        return sub
+    return key
+
+
+_warned_aliases: set = set()
+
+
 def fd_polarizations_switch(
     freqs, approximant: str, f_lower, m1i, m2i, di, ii, tci, pci,
     c1i, c2i, cpi, a0i, s1xi=0.0, s1yi=0.0, s2xi=0.0, s2yi=0.0,
@@ -200,6 +234,7 @@ def fd_polarizations_switch(
     analogue of the reference's lalsuite IMRPhenomXPHM two-spin angles
     (MLGWSC-1/gen.py:131-147).
     """
+    approximant = canonical_approximant(approximant)
     if approximant.endswith("-twospin"):
         from gwkit.data.precession_ode import precession_angles_numerical
 

@@ -170,3 +170,24 @@ def test_plot_efficiency_vs_epoch(rng, tmp_path):
     out = plot_efficiency_vs_epoch([1, 2, 3, 4, 5], eff, [7, 9, 11], 1e-3,
                                    str(tmp_path / "eve.png"))
     assert os.path.isfile(out)
+
+
+def test_seobnrv4_aliases_to_imrphenomd(rng):
+    """Reference Efficiency_test defaults to SEOBNRv4_opt (generate_data.py:
+    182); gwkit accepts it as an imrphenomd alias so reference commands port
+    verbatim (docs/MIGRATION.md 'Approximant substitution')."""
+    import numpy as np
+
+    from gwkit.data.waveforms import canonical_approximant, td_polarizations
+
+    assert canonical_approximant("SEOBNRv4_opt") == "imrphenomd"
+    assert canonical_approximant("seobnrv4") == "imrphenomd"
+    assert canonical_approximant("imrphenomhm") == "imrphenomhm"
+
+    params = {"mass1": np.array([30.0]), "mass2": np.array([25.0]),
+              "distance": np.array([400.0]), "inclination": np.array([0.3]),
+              "tc": np.array([0.5]), "coa_phase": np.array([0.1])}
+    hp_a, hx_a = td_polarizations(params, 2.0, 2048.0, approximant="seobnrv4_opt")
+    hp_d, hx_d = td_polarizations(params, 2.0, 2048.0, approximant="imrphenomd")
+    np.testing.assert_array_equal(np.asarray(hp_a), np.asarray(hp_d))
+    np.testing.assert_array_equal(np.asarray(hx_a), np.asarray(hx_d))
