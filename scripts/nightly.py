@@ -8,6 +8,7 @@ recorded and does not stop the rest):
   tpu_tests — `pytest tests/ -q -m tpu` compiled on the real chip
               (GWKIT_TPU_TESTS=1; kernel parity with backend tolerances)
   bench     — bench.py production geometry (+ strict reference geometry)
+  headlines — scripts/check_headlines.py (README vs docs/results/HEADLINE.json)
   realfile  — scripts/bench_realfile.py warm-search throughput
   e2e       — scripts/e2e_mlgwsc.py capstone (train -> search -> evaluate)
   ablation  — scripts/ablation_dora.py (per-arm result cache)
@@ -44,7 +45,7 @@ def run_stage(name: str, cmd, env=None, timeout=14400):
 def main():
     out = os.environ.get("NIGHTLY_OUT", "/tmp/nightly")
     os.makedirs(out, exist_ok=True)
-    stages = os.environ.get("NIGHTLY_STAGES", "tests,tpu_tests,bench").split(",")
+    stages = os.environ.get("NIGHTLY_STAGES", "tests,tpu_tests,bench,headlines").split(",")
     py = sys.executable
     results = {}
 
@@ -57,6 +58,7 @@ def main():
         "bench": ([py, "bench.py"], {}),
         "bench_strict": ([py, "bench.py"],
                          {"BENCH_TARGET_FRAMES": "3000", "BENCH_TIME_DECIMATION": "1"}),
+        "headlines": ([py, "scripts/check_headlines.py"], {}),
         "realfile": ([py, "scripts/bench_realfile.py"], {}),
         "e2e": ([py, "scripts/e2e_mlgwsc.py"], {"E2E_OUT": os.path.join(out, "e2e")}),
         "ablation": ([py, "scripts/ablation_dora.py"],
