@@ -99,7 +99,8 @@ def main():
 
     # ---- 2. train ----
     on_tpu = jax.devices()[0].platform != "cpu"
-    enc = config_for("tiny", compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    enc_size = os.environ.get("E2E_ENCODER", "tiny")
+    enc = config_for(enc_size, compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
                      use_flash_attention=on_tpu, fused_block=on_tpu, remat=True,
                      gelu_approx=on_tpu, max_positions=target_frames // 2)
     qcfg = QAdapterConfig(median_stride=8, target_shape=(80, target_frames))
@@ -212,7 +213,11 @@ def main():
     print(f"n injections in span: {mask.sum()}, best sensitive fraction: "
           f"{stats['sensitive-fraction'].max():.3f}")
     idx100 = np.searchsorted(-far_month, -100.0)
-    if idx100 < len(sd) and os.environ.get("E2E_HEADLINE", "1") == "1":
+    # only the flagship configuration (tiny encoder, ds1) owns the README
+    # headline; ablation arms (base encoder, ds3/4) must not overwrite it
+    if (idx100 < len(sd) and os.environ.get("E2E_HEADLINE", "1") == "1"
+            and enc_size == "tiny"
+            and int(os.environ.get("E2E_DATASET", "1")) == 1):
         _update_headline(
             "capstone_recovery",
             f"recovers {100 * stats['sensitive-fraction'].max():.1f}% of challenge injections",

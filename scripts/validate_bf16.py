@@ -1,8 +1,11 @@
-"""bf16 scoring-path parity validation vs full f32 (VERDICT r3 #2).
+"""bf16 scoring-path parity validation vs full f32 (VERDICT r3 #2, r4 #7).
 
 BASELINE.md's rebuild target says "fp32", while every headline throughput
 number computes in bf16 (f32 softmax/LN) on TPU. This gate mirrors
-scripts/validate_int8.py on the SAME trained e2e capstone components:
+scripts/validate_int8.py on the SAME trained e2e capstone components, at
+BOTH deployed geometries — the production serving shape (80,512) AND the
+strict reference shape (80,3000), where the fused-block VMEM auto-split
+engages a different kernel configuration (VERDICT r4 weak #6):
 
 1. Classification: scores over the training corpus' validation split ->
    AUC both dtypes, score correlation, max delta.
@@ -10,9 +13,10 @@ scripts/validate_int8.py on the SAME trained e2e capstone components:
    both ways -> trigger-time Jaccard and per-trigger stat deltas.
 
 Writes docs/results/bf16_parity.md. Env: BF16_VAL_DIR (default /tmp/e2e_imrd),
-BF16_VAL_TARGET (3000), BF16_VAL_SECONDS (crop the search span; 0 = all).
-The strict-geometry fp32 THROUGHPUT number comes from
-``BENCH_DTYPE=f32 BENCH_TARGET_FRAMES=3000 python bench.py`` (docs/PERF.md).
+BF16_VAL_TARGETS (comma list, default "512,3000"), BF16_VAL_SECONDS (crop
+the search span; 0 = all). The strict-geometry fp32 THROUGHPUT number
+comes from ``BENCH_DTYPE=f32 BENCH_TARGET_FRAMES=3000 python bench.py``
+(docs/PERF.md).
 """
 import os
 import sys
@@ -25,7 +29,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
+def run_geometry(base: str, target: int) -> list:
     import h5py
     import jax
     import jax.numpy as jnp
@@ -34,8 +38,6 @@ def main():
     from gwkit.data.datasets import InjectionDataset
     from gwkit.train.metrics import roc_auc
 
-    base = os.environ.get("BF16_VAL_DIR", "/tmp/e2e_imrd")
-    target = int(os.environ.get("BF16_VAL_TARGET", "3000"))
     run = os.path.join(base, "run")
     pre = os.path.join(base, "encoder_pretrained.npz")
     kw = dict(
@@ -77,10 +79,12 @@ def main():
     delta = np.abs(s_b - s_f)
     span = float(s_f.max() - s_f.min())
     lines = [
-        "# bf16 scoring-path parity vs f32 (the fp32 north-star wording gate)",
         "",
-        f"Model: e2e capstone components ({run}); geometry (80,{target});",
-        f"validation split n={len(y)} at SNR U(7,20). f32 truth = the same",
+        f"## Geometry (80,{target})"
+        + (" — strict reference shape (fused-block VMEM auto-split path)"
+           if target >= 3000 else " — production serving shape"),
+        "",
+        f"Validation split n={len(y)} at SNR U(7,20). f32 truth = the same",
         "task graph (fused kernels included) built at compute_dtype=float32.",
         "",
         "| metric | f32 | bf16 |",
@@ -129,7 +133,21 @@ def main():
             f"trigger-time Jaccard {inter / union:.4f} "
             f"({inter}/{union} at 0.1 s resolution).",
         ]
+    return lines
 
+
+def main():
+    base = os.environ.get("BF16_VAL_DIR", "/tmp/e2e_imrd")
+    targets = [int(t) for t in
+               os.environ.get("BF16_VAL_TARGETS", "512,3000").split(",")]
+    run = os.path.join(base, "run")
+    lines = [
+        "# bf16 scoring-path parity vs f32 (the fp32 north-star wording gate)",
+        "",
+        f"Model: e2e capstone components ({run}); production USR threshold.",
+    ]
+    for target in targets:
+        lines += run_geometry(base, target)
     lines += [
         "",
         "Throughput context: strict-geometry x-realtime at BENCH_DTYPE=f32 vs",
