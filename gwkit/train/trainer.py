@@ -52,6 +52,12 @@ class TrainConfig:
     lr_schedule: str = "constant"
     warmup_steps: int = 500
     total_steps: int = 0  # required when lr_schedule != "constant"
+    # Wall-clock budget for fit() (seconds; 0 = unlimited). Stops after the
+    # first epoch that crosses the budget — used for matched-wall-clock
+    # model-size comparisons (e.g. tiny vs base at the same device-time
+    # spend), where matching epoch counts would hand the smaller model a
+    # 2-3x device-time advantage.
+    time_budget_s: float = 0.0
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -204,6 +210,7 @@ class Trainer:
 
         key = jax.random.PRNGKey(cfg.seed)
         patience = 0
+        fit_t0 = time.time()
         with open(losses_path, "a", buffering=1) as f:
             for epoch in range(start_epoch, cfg.epochs + 1):
                 key, k_train, k_valid = jax.random.split(key, 3)
@@ -238,6 +245,11 @@ class Trainer:
                         break
                 if patience >= cfg.early_stop_patience:
                     logging.info("Early stopping (patience %d) at epoch %04d.", cfg.early_stop_patience, epoch)
+                    break
+                if cfg.time_budget_s and time.time() - fit_t0 >= cfg.time_budget_s:
+                    logging.info(
+                        "Wall-clock budget %.0fs reached at epoch %04d (%.0fs).",
+                        cfg.time_budget_s, epoch, time.time() - fit_t0)
                     break
         logging.info("Training complete. Best validation loss: %.6f", best_val)
         return best_val

@@ -18,7 +18,10 @@ at Gpc distances live), E2E_PRETRAIN (InfoNCE steps on the same corpus
 before supervised training, default 0 = off), E2E_DATASET (challenge
 dataset 1-4 for the search/eval stages, default 1),
 E2E_APPROXIMANT/E2E_SPIN_MAX/E2E_ISO_SPINS (training-corpus population —
-e.g. imrphenomxphm/0.99/1 to train matched to the ds3/4 populations).
+e.g. imrphenomxphm/0.99/1 to train matched to the ds3/4 populations),
+E2E_TIME_BUDGET_S (wall-clock training budget, 0 = off — matched-budget
+encoder-size comparisons), E2E_ENCODER (tiny | base | ... — non-tiny arms
+never overwrite the README headline ledger).
 """
 import json
 import os
@@ -134,7 +137,10 @@ def main():
     trainer = Trainer(
         task.loss_fn, task.trainable, task.frozen,
         TrainConfig(learning_rate=3e-4, clip_norm=100.0, epochs=epochs, batch_size=64,
-                    early_stop_patience=epochs, optimizer="adam"),
+                    early_stop_patience=epochs, optimizer="adam",
+                    # E2E_TIME_BUDGET_S: matched-wall-clock model-size arms
+                    # (e.g. base vs tiny at the same device-time spend)
+                    time_budget_s=float(os.environ.get("E2E_TIME_BUDGET_S", "0"))),
         export_components=task.export_components,
     )
 

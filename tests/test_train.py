@@ -211,6 +211,36 @@ def test_checkpoint_round_trip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_trainer_time_budget_stops_early(tmp_path):
+    """TrainConfig.time_budget_s halts fit() after the epoch that crosses the
+    wall-clock budget — the matched-device-time knob for encoder-size
+    comparisons (tiny vs base at equal spend)."""
+    import time
+
+    from gwkit.train.trainer import TrainConfig, Trainer
+
+    def loss_fn(tr, frozen, batch, key):
+        return jnp.sum((tr["w"] - batch) ** 2), {}
+
+    def batches(_key):
+        # host-side sleep stands in for device time; 3 batches/epoch
+        for _ in range(3):
+            time.sleep(0.05)
+            yield jnp.ones(4)
+
+    epochs_seen = []
+    trainer = Trainer(
+        loss_fn, {"w": jnp.zeros(4)}, {},
+        TrainConfig(learning_rate=1e-2, epochs=50, batch_size=4,
+                    early_stop_patience=50, time_budget_s=0.4),
+        metrics_callback=lambda epoch, m: epochs_seen.append(epoch),
+    )
+    trainer.fit(batches, batches, outdir=str(tmp_path / "run"), force=True)
+    # each epoch is >=0.3s of batch time (train+valid); the 0.4s budget must
+    # stop well short of 50 epochs but always complete epoch 1
+    assert 1 <= len(epochs_seen) <= 3
+
+
 def test_metrics_vs_sklearn(rng):
     sklearn = pytest.importorskip("sklearn")
     from sklearn.metrics import f1_score, roc_auc_score
