@@ -29,7 +29,15 @@ if not RUN_TPU:
 # This JAX build lowers f32 matmuls/convs to reduced precision by default
 # (even on CPU). Golden-parity tests need true f32 accumulation; production
 # code chooses bf16 explicitly via compute_dtype.
-jax.config.update("jax_default_matmul_precision", "highest")
+#
+# TPU lane exception: the axon relay backend HANGS compiling any dot at a
+# non-default precision (a bare 512x512 f32 matmul at 'high' or 'highest'
+# never returns — measured round 5), so the on-chip lane keeps the DEFAULT
+# precision. That is also the numeric mode every production path actually
+# runs in (bench.py, the search engine, training set no global override),
+# so the lane's tolerances are calibrated to the production lowering.
+if not RUN_TPU:
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
