@@ -14,6 +14,49 @@ from gwkit.data.waveforms import SourceDistribution, chirp_mass, f_isco, td_pola
 from gwkit.ops.psd import welch_psd
 
 
+def test_batched_colored_noise_matches_unbatched():
+    """Month-scale generation fetches noise in vmapped chunk batches; each
+    batched row must reproduce the corresponding single-key call (same key ->
+    same spectrum draw; only irfft batching may reorder float rounding)."""
+    from gwkit.data.generate import _batched_colored_noise
+
+    fs, n = 2048.0, 4096
+    f = np.arange(n // 2 + 1) * (fs / n)
+    psd = jnp.asarray((1.0 + (f / 200.0) ** 2).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(7), 5)
+    batched = np.asarray(_batched_colored_noise(keys, n, 1.0 / fs, psd))
+    assert batched.shape == (5, n)
+    for i, k in enumerate(keys):
+        single = np.asarray(colored_noise(k, n, 1.0 / fs, psd))
+        np.testing.assert_allclose(batched[i], single, rtol=1e-5, atol=1e-5 * float(np.abs(single).max()))
+
+
+def test_challenge_generation_multichunk_segment(tmp_path):
+    """A segment longer than one 256 s device chunk takes the batched path:
+    length exact, fg==bg outside injections, per-chunk noise keyed identically
+    to the unbatched split order."""
+    from gwkit.data.generate import generate_challenge_data
+
+    fs = 2048.0
+    fg_p, bg_p, inj_p = (str(tmp_path / nm) for nm in ("fg.hdf", "bg.hdf", "inj.hdf"))
+    span = [(1238166018.0, 1238166018.0 + 640.0)]  # 2.5 x 2^19-sample chunks
+    generate_challenge_data(fg_p, bg_p, inj_p, sample_rate=fs, seed=3,
+                            segments=span, wave_duration=32.0)
+    with h5py.File(bg_p, "r") as bg, h5py.File(fg_p, "r") as fg:
+        h1 = bg["H1"]["0"][()]
+        assert h1.shape[0] == int(640.0 * fs)
+        assert 1e-24 < h1.std() < 1e-19  # physical strain scale throughout
+        # chunk-boundary continuity of scale: per-chunk std uniform (no
+        # dropped sqrt(c) or double-trimmed slab)
+        stds = [h1[i:i + 100000].std() for i in range(0, h1.shape[0] - 100000, 100000)]
+        assert max(stds) / min(stds) < 1.5
+        diff = fg["H1"]["0"][()] - h1
+        assert np.abs(diff).max() > 0  # injections present
+        # injections are weak relative to noise (Gpc-distance population):
+        # fg shares the bg noise realization rather than being fresh noise
+        assert np.corrcoef(fg["H1"]["0"][()], h1)[0, 1] > 0.9
+
+
 def test_colored_noise_matches_target_psd(rng):
     fs, n = 2048.0, 2048 * 32
     f = np.arange(n // 2 + 1) * (fs / n)
