@@ -67,8 +67,28 @@ def _load_gwkit_encoder(path: str, size: str, enc_cfg):
     from gwkit.models.whisper import config_for, init_encoder_params, sinusoid_positions
     from gwkit.train.checkpoints import load_pytree
 
+    import dataclasses
+
+    import numpy as np
+
+    # The ONLY geometry-dependent leaf is the sinusoidal ``pos`` table
+    # (max_positions, d_model): a checkpoint trained at any serving length
+    # (e.g. the production (80,512) -> 256 positions) must load at any other
+    # (e.g. the strict (80,3000) -> 1500). Find the pos leaf's index in the
+    # template structure, read its STORED length from the npz, and build the
+    # template at that geometry; ``pos`` is re-pinned below, so the geometry
+    # change is exact.
+    template = init_encoder_params(jax.random.PRNGKey(0), enc_cfg)
+    flat, _ = jax.tree.flatten(template)
+    pos_idx = [i for i, leaf in enumerate(flat)
+               if tuple(np.shape(leaf)) == (enc_cfg.max_positions, enc_cfg.d_model)]
+    stored_cfgs = []
+    if len(pos_idx) == 1:
+        with np.load(path) as data:
+            stored_len = int(data[f"leaf_{pos_idx[0]:05d}"].shape[0])
+        stored_cfgs = [dataclasses.replace(enc_cfg, max_positions=stored_len)]
     params = None
-    for template_cfg in (config_for(size), enc_cfg):
+    for template_cfg in stored_cfgs + [enc_cfg, config_for(size)]:
         template = init_encoder_params(jax.random.PRNGKey(0), template_cfg)
         try:
             params, _ = load_pytree(path, template)
@@ -77,8 +97,8 @@ def _load_gwkit_encoder(path: str, size: str, enc_cfg):
             continue
     if params is None:
         raise ValueError(
-            f"{path}: stored encoder geometry matches neither the default "
-            f"({size}) nor the serving config")
+            f"{path}: stored encoder geometry matches neither its own pos-table "
+            f"length, the serving config, nor the default ({size})")
     params = dict(params)
     params["pos"] = jnp.asarray(
         sinusoid_positions(enc_cfg.max_positions, enc_cfg.d_model))

@@ -100,6 +100,38 @@ def test_load_gwkit_encoder_repins_positions(tmp_path, monkeypatch):
                 np.asarray(jax.tree.leaves(stored[key])[0]))
 
 
+def test_load_gwkit_encoder_third_geometry(tmp_path, monkeypatch):
+    """A checkpoint stored at a geometry matching NEITHER the default size
+    NOR the serving config still loads: the stored max_positions is inferred
+    from the pos leaf in the npz (round 5 — serving a production-(80,512)
+    capstone at the strict (80,3000) reference geometry)."""
+    import dataclasses
+
+    import gwkit.cli.inference as inf
+    import gwkit.models.whisper as W
+    from gwkit.models.whisper import init_encoder_params, sinusoid_positions
+
+    enc = WhisperConfig(d_model=32, n_heads=2, n_layers=2, d_ff=64, max_positions=64)
+    stored = init_encoder_params(jax.random.PRNGKey(3), enc)
+    stored = jax.tree.map(lambda x: x + 0.25, stored)
+    path = str(tmp_path / "enc.npz")
+    save_pytree(path, stored)
+
+    # default lookup resolves to yet another geometry (neither stored nor serving)
+    monkeypatch.setattr(
+        W, "config_for",
+        lambda size, **kw: dataclasses.replace(enc, max_positions=128))
+    serving_cfg = dataclasses.replace(enc, max_positions=32)
+    loaded = inf._load_gwkit_encoder(path, "tiny", serving_cfg)
+
+    assert loaded["pos"].shape == (32, 32)
+    np.testing.assert_allclose(
+        np.asarray(loaded["pos"]), sinusoid_positions(32, 32), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(loaded["conv1"])[0]),
+        np.asarray(jax.tree.leaves(stored["conv1"])[0]))
+
+
 def test_load_task_with_pretrained_encoder(tmp_path, monkeypatch):
     """load_task_from_components(pretrained_encoder=...) serves a model whose
     base encoder came from InfoNCE pretraining instead of the seed init."""
