@@ -373,7 +373,11 @@ def load_real_noise_segments(
 _NOISE_CHUNK_BATCH = 8
 
 
-@partial(jax.jit, static_argnums=(1,))
+# n AND delta_t static: colored_noise is itself jitted with
+# static_argnums=(1, 2), so a traced delta_t would land in the inner jit's
+# static slot (tracer-in-statics -> pytree-metadata equality error once the
+# inner cache holds a concrete-float entry).
+@partial(jax.jit, static_argnums=(1, 2))
 def _batched_colored_noise(keys, n: int, delta_t: float, psd: jnp.ndarray):
     return jax.vmap(lambda k: colored_noise(k, n, delta_t, psd))(keys)
 
