@@ -79,8 +79,16 @@ def ensure_data(path: str, hours: float, seed: int) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     bg = path.replace("fg", "bg")
     t0 = time.time()
+    # wave_duration 24 s (not the 64 s default): month-scale generation is
+    # bound by relay transfer bytes, and per-injection bytes scale with the
+    # window. The ds1 population (nonspinning, m U(10,50)) has a worst-case
+    # signal length of ~11 s from f_lower=20 Hz ((10,10) chirp time), and tc
+    # sits 0.75 into the window, so 24 s holds the longest signal with ~7 s
+    # margin — injection CONTENT is unchanged, only zero padding shrinks.
+    wave_dur = float(os.environ.get("MS_WAVE_DUR", "24"))
     generate_challenge_data(
-        path, bg, inj, duration=hours * 3600.0, seed=seed, dataset=1)
+        path, bg, inj, duration=hours * 3600.0, seed=seed, dataset=1,
+        wave_duration=wave_dur)
     print(f"generated {hours:.0f} h ds1 challenge data (fg+bg+inj) in "
           f"{time.time() - t0:.0f}s", flush=True)
 
