@@ -27,7 +27,10 @@ Env: MS_DAYS / MONTHSCALE_DAYS (month mode), MS_HOURS (24), MS_DIR
 (/tmp/monthscale), MS_CKPT_DIR (/tmp/e2e_imrd; unset/absent -> random-init
 model at the 95%-quantile threshold), MS_TARGET (512), MS_BATCH (128),
 MS_THRESHOLD (-0.5), MS_SEED (11), MS_EVAL (force the evaluate stage on or
-off; defaults on in month mode), MS_QSCAN_STREAM (streaming Q-scan lever).
+off; defaults on in month mode), MS_QSCAN_STREAM (streaming Q-scan lever),
+MS_WAVE_DUR (injection window seconds, default 24 — the relay is
+transfer-byte bound and the ds1 population's longest signal is ~11 s, so
+the 64 s library default only adds zero padding; see ensure_data).
 """
 import json
 import os
