@@ -274,8 +274,14 @@ def _add_injections(
     idxs = np.flatnonzero(mask)
     for bstart in range(0, len(idxs), inject_batch):
         blk = idxs[bstart : bstart + inject_batch]
+        # pad the final block to inject_batch (repeat last index, outputs
+        # discarded): a ragged tail batch would retrace the waveform graph
+        # once per distinct remainder — ~60 extra compiles over a month of
+        # segments on a relay where each compile round-trips
+        padded = np.concatenate([blk, np.full(inject_batch - len(blk), blk[-1])]) \
+            if len(blk) < inject_batch else blk
         strains = _project_injection_batch(
-            params, blk, wave_duration, sample_rate, f_lower, 1.0, detectors,
+            params, padded, wave_duration, sample_rate, f_lower, 1.0, detectors,
             approximant=approximant,
         )
         for bi, gi in enumerate(blk):
@@ -399,11 +405,20 @@ def generate_challenge_data(
     dataset: int = 1,
     real_noise_path: Optional[str] = None,
     slide_buffer: float = 240.0,
+    resume: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Write background (noise), foreground (noise+injections), and
     injection-table HDF5 files in the MLGWSC-1 layout for challenge
     ``dataset`` 1-4 (dataset 4 needs ``real_noise_path``; see
-    :func:`write_real_noise_file` for its layout)."""
+    :func:`write_real_noise_file` for its layout).
+
+    ``resume=True`` opens the fg/bg files in append mode and skips segments
+    whose four datasets (bg/fg x detectors) are already complete, replaying
+    the PRNG key-split order for the skipped noise so the remaining segments
+    are bit-identical to an uninterrupted run. Month-scale generation is a
+    multi-hour device job on a tunneled TPU; a crash or relay stall must not
+    cost the finished segments (the injection file is still written last and
+    is the overall completion marker)."""
     distribution = distribution or challenge_distribution(dataset)
     rng = np.random.default_rng(seed)
 
@@ -426,10 +441,11 @@ def generate_challenge_data(
                  dataset, len(spans), len(params["tc"]))
 
     key = jax.random.PRNGKey(seed)
-    with h5py.File(background_path, "w") as bg, h5py.File(foreground_path, "w") as fg:
+    mode = "a" if resume else "w"
+    with h5py.File(background_path, mode) as bg, h5py.File(foreground_path, mode) as fg:
         for det in detectors:
-            bg.create_group(det)
-            fg.create_group(det)
+            bg.require_group(det)
+            fg.require_group(det)
         # Hour-scale segments are synthesized in fixed 2^19-sample (256 s)
         # chunks: one power-of-two FFT compiled once, bounded device memory
         # (the reference chunks at 1 h for the same reason,
@@ -439,6 +455,22 @@ def generate_challenge_data(
         psd_cache: Dict[Tuple[str, int], Tuple[jnp.ndarray, float]] = {}
         for si, (start, end) in enumerate(spans):
             n = int(round((end - start) * sample_rate))
+            name = str(si)
+            if resume:
+                have = [f[det].get(name) for f in (bg, fg) for det in detectors]
+                if all(d is not None and d.shape[0] == n for d in have):
+                    # replay the noise key splits so later segments match an
+                    # uninterrupted run bit-for-bit
+                    if dataset != 4:
+                        n_chunks = -(-n // n_chunk)
+                        for _ in detectors:
+                            for _ in range(n_chunks):
+                                key, _unused = jax.random.split(key)
+                    continue
+                for f in (bg, fg):  # drop any partial write of this segment
+                    for det in detectors:
+                        if name in f[det]:
+                            del f[det][name]
             seg_noise = {}
             if dataset == 4:
                 st, arr = shifted[si]

@@ -64,6 +64,34 @@ def _update_headline(name: str, string: str, source: str) -> None:
         json.dump(data, f, indent=2, sort_keys=True)
 
 
+def probe_device(timeout_s: float = 90.0) -> None:
+    """Run one tiny device op with a hard timeout.
+
+    The axon-relayed TPU occasionally wedges a fresh client on its FIRST
+    compute RPC (device enumeration succeeds, then the array fetch blocks
+    forever with no established connection — observed three times while
+    launching the month run this round). jax has no per-op timeout, so a
+    watchdog thread turns the silent hang into exit code 3, which
+    scripts/month_driver.py treats as 'restart immediately'."""
+    import threading
+
+    import jax.numpy as jnp
+
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(timeout_s):
+            print(f"device probe stalled >{timeout_s:.0f}s; exit 3 for "
+                  "supervisor restart", flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    t0 = time.time()
+    float(jnp.ones((8, 8)).sum())
+    done.set()
+    print(f"device probe ok in {time.time() - t0:.1f}s", flush=True)
+
+
 def ensure_data(path: str, hours: float, seed: int) -> None:
     import h5py
 
@@ -89,9 +117,11 @@ def ensure_data(path: str, hours: float, seed: int) -> None:
     # sits 0.75 into the window, so 24 s holds the longest signal with ~7 s
     # margin — injection CONTENT is unchanged, only zero padding shrinks.
     wave_dur = float(os.environ.get("MS_WAVE_DUR", "24"))
+    # resume=True: completed segments in a partial fg/bg survive crashes and
+    # relay stalls (bit-identical continuation; inj still written last)
     generate_challenge_data(
         path, bg, inj, duration=hours * 3600.0, seed=seed, dataset=1,
-        wave_duration=wave_dur)
+        wave_duration=wave_dur, resume=True)
     print(f"generated {hours:.0f} h ds1 challenge data (fg+bg+inj) in "
           f"{time.time() - t0:.0f}s", flush=True)
 
@@ -256,6 +286,7 @@ def main():
     inj = fg.replace("fg", "inj")
 
     print(f"devices: {jax.devices()}", flush=True)
+    probe_device(float(os.environ.get("MS_PROBE_TIMEOUT_S", "90")))
     ensure_data(fg, hours, seed)
 
     task, model_src = _load_model(ckpt, target)

@@ -57,6 +57,49 @@ def test_challenge_generation_multichunk_segment(tmp_path):
         assert np.corrcoef(fg["H1"]["0"][()], h1)[0, 1] > 0.9
 
 
+def test_challenge_generation_resume_bit_exact(tmp_path):
+    """Interrupted month-scale generation resumes bit-identically: drop the
+    last segment (fg fully, bg partially — a mid-write crash) plus the
+    injection completion marker, re-run with resume=True, and every dataset
+    matches an uninterrupted run (the PRNG key-split order is replayed for
+    the completed segments)."""
+    import os
+
+    from gwkit.data.generate import generate_challenge_data
+
+    def paths(tag):
+        return tuple(str(tmp_path / f"{tag}_{nm}.hdf") for nm in ("fg", "bg", "inj"))
+
+    spans = [(1238166018.0, 1238166018.0 + 200.0),
+             (1238167018.0, 1238167018.0 + 640.0),
+             (1238168018.0, 1238168018.0 + 300.0)]
+    a_fg, a_bg, a_inj = paths("a")
+    generate_challenge_data(a_fg, a_bg, a_inj, seed=5, segments=spans,
+                            wave_duration=24.0)
+    b_fg, b_bg, b_inj = paths("b")
+    generate_challenge_data(b_fg, b_bg, b_inj, seed=5, segments=spans,
+                            wave_duration=24.0)
+    with h5py.File(b_fg, "a") as f:
+        for det in list(f.keys()):
+            del f[det]["2"]
+    with h5py.File(b_bg, "a") as f:
+        del f[sorted(f.keys())[1]]["2"]
+    os.remove(b_inj)
+    generate_challenge_data(b_fg, b_bg, b_inj, seed=5, segments=spans,
+                            wave_duration=24.0, resume=True)
+    for pa, pb in ((a_fg, b_fg), (a_bg, b_bg), (a_inj, b_inj)):
+        with h5py.File(pa) as fa, h5py.File(pb) as fb:
+            def walk(f):
+                out = {}
+                f.visititems(lambda n, o: out.__setitem__(n, o[()])
+                             if isinstance(o, h5py.Dataset) else None)
+                return out
+            da, db = walk(fa), walk(fb)
+            assert sorted(da) == sorted(db)
+            for k in da:
+                np.testing.assert_array_equal(da[k], db[k], err_msg=f"{pa}:{k}")
+
+
 def test_colored_noise_matches_target_psd(rng):
     fs, n = 2048.0, 2048 * 32
     f = np.arange(n // 2 + 1) * (fs / n)
