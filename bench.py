@@ -20,6 +20,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _preempt_month_pipeline():
+    """Stop a running month pipeline (by its pidfiles) before claiming the
+    chip.
+
+    The durable month pipeline (scripts/month_driver.py) may be holding the
+    TPU when the round's bench fires; two concurrent clients deadlock the
+    tunneled relay (both block forever — observed, not hypothetical). The
+    pipeline is resumable at segment granularity, so killing it is lossless.
+    Targeted pidfile kills only — never pattern matching."""
+    import signal
+    import time
+
+    killed = False
+    for name in ("month_pipeline.pid", "month_driver.pid"):
+        path = os.path.join("/tmp", name)
+        try:
+            with open(path) as f:
+                pid = int(f.read().strip())
+            os.kill(pid, 0)  # raises if gone
+        except (OSError, ValueError):
+            continue
+        try:
+            os.kill(pid, signal.SIGKILL)
+            killed = True
+            print(f"bench preflight: stopped {name[:-4]} (pid {pid}); "
+                  "resumable state is unaffected", file=sys.stderr, flush=True)
+        except OSError:
+            pass
+    if killed:
+        time.sleep(45)  # relay needs a beat between client sessions
+
+
 def _devices_with_retry():
     """jax.devices(), re-execing this process on transient backend outages.
 
@@ -49,6 +81,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    _preempt_month_pipeline()
     _devices_with_retry()
 
     from gwkit.models.whisper import config_for

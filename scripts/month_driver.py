@@ -47,12 +47,18 @@ def main() -> int:
     if not os.path.isabs(target):
         target = os.path.join(REPO, target)
 
+    # pidfiles let bench.py preempt us with targeted kills before it claims
+    # the chip (two concurrent relay clients deadlock; state is resumable)
+    with open("/tmp/month_driver.pid", "w") as f:
+        f.write(str(os.getpid()))
     for attempt in range(1, max_retries + 1):
         with open(log_path, "a") as log:
             log.write(f"\n===== month_driver attempt {attempt} =====\n")
             log.flush()
             child = subprocess.Popen([sys.executable, target], stdout=log,
                                      stderr=subprocess.STDOUT, cwd=REPO)
+            with open("/tmp/month_pipeline.pid", "w") as f:
+                f.write(str(child.pid))
             last_io, last_move = _io_bytes(child.pid), time.time()
             while True:
                 try:
